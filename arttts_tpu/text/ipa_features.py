@@ -1,0 +1,207 @@
+"""IPA segment -> ternary phonological trait vectors.
+
+The reference derives 24-dim ternary (+1/0/-1) trait vectors from panphon's
+`FeatureTable.word_array` (`src/text/converters.py:26-55`). panphon is not
+available here, so this module implements a native feature table following the
+same Hayes-style feature system and the same trait ordering
+(`converters.py:29-54`):
+
+    syl son cons cont delrel lat nas strid voi sg cg ant cor distr lab
+    hi lo back round velaric tense long hitone hireg
+
+The table is keyed by IPA segment string (combining tie bars included, e.g.
+"t͡ʃ"). The rhotacization modifier "˞" is applied as a diacritic (sets +cor).
+Values are chosen so every segment in the supported inventory maps to a
+distinct vector; models in this framework are trained from scratch on these
+embeddings, so internal consistency (not bit-parity with panphon) is the
+contract. Extend `SEGMENTS` for additional language inventories.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+TRAITS: List[str] = [
+    "syl", "son", "cons", "cont", "delrel", "lat", "nas", "strid", "voi",
+    "sg", "cg", "ant", "cor", "distr", "lab", "hi", "lo", "back", "round",
+    "velaric", "tense", "long", "hitone", "hireg",
+]
+N_TRAITS = len(TRAITS)
+
+_BASE = {t: 0 for t in TRAITS}
+
+
+def _seg(**kw) -> Dict[str, int]:
+    d = dict(_BASE)
+    d.update(kw)
+    return d
+
+
+def _vowel(hi, lo, back, rnd, tense, **kw):
+    d = _seg(
+        syl=1, son=1, cons=-1, cont=1, delrel=-1, lat=-1, nas=-1, strid=0,
+        voi=1, sg=-1, cg=-1, ant=0, cor=-1, distr=0,
+        lab=1 if rnd > 0 else -1,
+        hi=hi, lo=lo, back=back, round=rnd, velaric=-1, tense=tense,
+        long=-1, hitone=0, hireg=0,
+    )
+    d.update(kw)
+    return d
+
+
+def _cons(**kw):
+    d = _seg(
+        syl=-1, son=-1, cons=1, cont=-1, delrel=-1, lat=-1, nas=-1, strid=0,
+        voi=-1, sg=-1, cg=-1, ant=0, cor=-1, distr=0, lab=-1, hi=-1, lo=-1,
+        back=-1, round=-1, velaric=-1, tense=0, long=-1, hitone=0, hireg=0,
+    )
+    d.update(kw)
+    return d
+
+
+SEGMENTS: Dict[str, Dict[str, int]] = {
+    # --- vowels -----------------------------------------------------------
+    "i": _vowel(1, -1, -1, -1, 1),
+    "ɪ": _vowel(1, -1, -1, -1, -1),
+    "e": _vowel(-1, -1, -1, -1, 1),
+    "ɛ": _vowel(-1, -1, -1, -1, -1),
+    "æ": _vowel(-1, 1, -1, -1, -1),
+    "a": _vowel(-1, 1, -1, -1, 1),
+    "ɑ": _vowel(-1, 1, 1, -1, -1),
+    "ɒ": _vowel(-1, 1, 1, 1, -1),
+    "ɔ": _vowel(-1, -1, 1, 1, -1),
+    "o": _vowel(-1, -1, 1, 1, 1),
+    "ʊ": _vowel(1, -1, 1, 1, -1),
+    "u": _vowel(1, -1, 1, 1, 1),
+    "ə": _vowel(-1, -1, 0, -1, 0),
+    "ʌ": _vowel(-1, -1, 1, -1, -1),
+    "ɜ": _vowel(-1, -1, 0, -1, -1),
+    "ɐ": _vowel(-1, 1, 0, -1, -1),
+    "y": _vowel(1, -1, -1, 1, 1),
+    "ø": _vowel(-1, -1, -1, 1, 1),
+    "œ": _vowel(-1, -1, -1, 1, -1),
+    "ɯ": _vowel(1, -1, 1, -1, 1),
+    "ɨ": _vowel(1, -1, 0, -1, 1),
+    "ʉ": _vowel(1, -1, 0, 1, 1),
+    # --- glides -----------------------------------------------------------
+    "w": _cons(son=1, cons=-1, cont=1, voi=1, lab=1, round=1, hi=1, back=1),
+    "j": _cons(son=1, cons=-1, cont=1, voi=1, hi=1, back=-1),
+    "ɥ": _cons(son=1, cons=-1, cont=1, voi=1, lab=1, round=1, hi=1, back=-1),
+    # --- liquids ----------------------------------------------------------
+    "l": _cons(son=1, cont=1, lat=1, voi=1, ant=1, cor=1, distr=-1),
+    "ɹ": _cons(son=1, cont=1, voi=1, ant=-1, cor=1, distr=-1),
+    "ɾ": _cons(son=1, cont=-1, voi=1, ant=1, cor=1, distr=-1),
+    "r": _cons(son=1, cont=1, voi=1, ant=1, cor=1, distr=-1, strid=-1),
+    "ʁ": _cons(cont=1, voi=1, ant=-1, back=1, hi=-1, strid=1),
+    "ʎ": _cons(son=1, cont=1, lat=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
+    # --- nasals -----------------------------------------------------------
+    "m": _cons(son=1, nas=1, voi=1, lab=1, ant=1),
+    "n": _cons(son=1, nas=1, voi=1, ant=1, cor=1, distr=-1),
+    "ŋ": _cons(son=1, nas=1, voi=1, ant=-1, hi=1, back=1),
+    "ɲ": _cons(son=1, nas=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
+    # --- stops ------------------------------------------------------------
+    "p": _cons(lab=1, ant=1),
+    "b": _cons(voi=1, lab=1, ant=1),
+    "t": _cons(ant=1, cor=1, distr=-1),
+    "d": _cons(voi=1, ant=1, cor=1, distr=-1),
+    "ʈ": _cons(ant=-1, cor=1, distr=-1),
+    "ɖ": _cons(voi=1, ant=-1, cor=1, distr=-1),
+    "c": _cons(ant=-1, cor=1, distr=1, hi=1),
+    "ɟ": _cons(voi=1, ant=-1, cor=1, distr=1, hi=1),
+    "k": _cons(ant=-1, hi=1, back=1),
+    "ɡ": _cons(voi=1, ant=-1, hi=1, back=1),
+    "g": _cons(voi=1, ant=-1, hi=1, back=1),
+    "q": _cons(ant=-1, hi=-1, back=1),
+    "ʔ": _cons(cg=1, ant=-1),
+    # --- fricatives -------------------------------------------------------
+    "f": _cons(cont=1, strid=1, lab=1, ant=1),
+    "v": _cons(cont=1, strid=1, voi=1, lab=1, ant=1),
+    "θ": _cons(cont=1, strid=-1, ant=1, cor=1, distr=1),
+    "ð": _cons(cont=1, strid=-1, voi=1, ant=1, cor=1, distr=1),
+    "s": _cons(cont=1, strid=1, ant=1, cor=1, distr=-1),
+    "z": _cons(cont=1, strid=1, voi=1, ant=1, cor=1, distr=-1),
+    "ʃ": _cons(cont=1, strid=1, ant=-1, cor=1, distr=1),
+    "ʒ": _cons(cont=1, strid=1, voi=1, ant=-1, cor=1, distr=1),
+    "ʂ": _cons(cont=1, strid=1, ant=-1, cor=1, distr=-1),
+    "ʐ": _cons(cont=1, strid=1, voi=1, ant=-1, cor=1, distr=-1),
+    "ɕ": _cons(cont=1, strid=1, ant=-1, cor=1, distr=1, hi=1),
+    "ʑ": _cons(cont=1, strid=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
+    "ç": _cons(cont=1, strid=-1, ant=-1, hi=1, back=-1),
+    "x": _cons(cont=1, strid=-1, ant=-1, hi=1, back=1),
+    "ɣ": _cons(cont=1, strid=-1, voi=1, ant=-1, hi=1, back=1),
+    "χ": _cons(cont=1, strid=1, ant=-1, hi=-1, back=1),
+    "h": _cons(son=-1, cons=-1, cont=1, sg=1, ant=-1),
+    "ɦ": _cons(son=-1, cons=-1, cont=1, sg=1, voi=1, ant=-1),
+    # --- affricates -------------------------------------------------------
+    "t͡ʃ": _cons(delrel=1, strid=1, ant=-1, cor=1, distr=1),
+    "d͡ʒ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=1),
+    "t͡s": _cons(delrel=1, strid=1, ant=1, cor=1, distr=-1),
+    "d͡z": _cons(delrel=1, strid=1, voi=1, ant=1, cor=1, distr=-1),
+    "t͡ɕ": _cons(delrel=1, strid=1, ant=-1, cor=1, distr=1, hi=1),
+    "d͡ʑ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
+    "ʈ͡ʂ": _cons(delrel=1, strid=1, ant=-1, cor=1, distr=-1),
+    "ɖ͡ʐ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=-1),
+}
+
+# Diacritic modifiers applied to a base segment (suffix characters).
+_MODIFIERS = {
+    "˞": {"cor": 1},        # rhotacization (ER/ER0 -> "ɜ˞"/"ə˞")
+    "ː": {"long": 1},       # length
+    "̃": {"nas": 1},         # nasalization (combining tilde)
+    "ʰ": {"sg": 1},         # aspiration
+    "̥": {"voi": -1},        # devoicing
+    "ʲ": {"hi": 1},         # palatalization
+}
+
+
+def segment_features(segment: str) -> Optional[np.ndarray]:
+    """Trait vector for one IPA segment (with optional diacritics).
+
+    Returns shape (N_TRAITS,) int8 in {-1, 0, 1}, or None if unknown.
+    """
+    if segment in SEGMENTS:
+        return np.array([SEGMENTS[segment][t] for t in TRAITS], dtype=np.int8)
+    # strip modifiers from the right
+    mods: List[Dict[str, int]] = []
+    base = segment
+    while base and base[-1] in _MODIFIERS:
+        mods.append(_MODIFIERS[base[-1]])
+        base = base[:-1]
+    if base in SEGMENTS:
+        d = dict(SEGMENTS[base])
+        for m in mods:
+            d.update(m)
+        return np.array([d[t] for t in TRAITS], dtype=np.int8)
+    return None
+
+
+def word_features(word: str) -> Optional[np.ndarray]:
+    """Parse a possibly multi-segment IPA string into per-segment trait rows.
+
+    Greedy longest-match segmentation (like panphon's `word_array`, which
+    returns one row per segment — e.g. "aɪ" -> 2 rows). Returns (n_segments,
+    N_TRAITS) int8, or None if any part of the string cannot be parsed.
+    """
+    rows: List[np.ndarray] = []
+    i = 0
+    max_len = 4  # longest segment strings incl. tie bars / modifiers
+    while i < len(word):
+        match = None
+        for ln in range(min(max_len, len(word) - i), 0, -1):
+            feats = segment_features(word[i : i + ln])
+            if feats is not None:
+                match = feats
+                i += ln
+                break
+        if match is None:
+            return None
+        rows.append(match)
+    if not rows:
+        return None
+    return np.stack(rows, axis=0)
+
+
+def validate_segment(segment: str) -> bool:
+    return word_features(segment) is not None
