@@ -1,0 +1,124 @@
+"""Reverse-diffusion sampling and end-to-end acoustic synthesis.
+
+Equivalent of `Diffusion.reverse_diffusion` + `ArtTTS.forward`
+(`/root/reference/src/model/diffusion.py:302-324`, `model/tts.py:84-165`),
+restructured for XLA: the n-step Euler loop is a `lax.fori_loop` inside one
+jitted program (the reference launches 50 separate U-Net graphs), and the
+dynamic output length (`tts.py:132-137`) becomes a *static* bucketed
+`max_frames` with masking — callers pick a bucket from the predicted duration
+so jit caches a handful of shapes instead of recompiling per sentence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from arttts_tpu.models.diffusion_sde import get_noise
+from arttts_tpu.ops.shape import fix_len_compatibility, generate_path, sequence_mask
+
+
+def reverse_diffusion(
+    model,
+    variables,
+    z,
+    mask,
+    mu,
+    n_timesteps: int,
+    stoc: bool = False,
+    spk=None,
+    rng: Optional[jax.Array] = None,
+):
+    """Euler reverse-SDE/ODE sampler (diffusion.py:302-324).
+
+    z, mu: (B, T, C); mask: (B, T, 1). Static n_timesteps.
+    """
+    dec = model.config.decoder
+    h = 1.0 / n_timesteps
+    B = z.shape[0]
+
+    def body(i, xt):
+        t = (1.0 - (i + 0.5) * h) * jnp.ones((B,), z.dtype)
+        noise_t = get_noise(t[:, None, None], dec.beta_min, dec.beta_max)
+        score = model.apply(variables, xt, mask, mu, t, spk, method="estimate_noise")
+        if stoc:
+            dxt_det = (0.5 * (mu - xt) - score) * noise_t * h
+            step_rng = jax.random.fold_in(rng, i)
+            dxt_stoc = jax.random.normal(step_rng, z.shape, z.dtype) * jnp.sqrt(
+                noise_t * h
+            )
+            dxt = dxt_det + dxt_stoc
+        else:
+            dxt = 0.5 * (mu - xt - score) * noise_t * h
+        return (xt - dxt) * mask
+
+    return jax.lax.fori_loop(0, n_timesteps, body, z * mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "n_timesteps", "max_frames", "stoc"),
+)
+def synthesize(
+    model,
+    variables,
+    rng,
+    x,
+    x_lengths,
+    n_timesteps: int,
+    max_frames: int,
+    temperature: float = 1.0,
+    stoc: bool = False,
+    spk=None,
+    length_scale: float = 1.0,
+    x_durations: Optional[jnp.ndarray] = None,
+):
+    """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
+
+    Mirrors tts.py:84-165 with static `max_frames`:
+    encoder -> durations (or provided `x_durations`) -> path -> mu_y ->
+    z ~ N(mu_y, I/temperature) -> reverse diffusion. Outputs are
+    (B, max_frames, n_feats) with `y_lengths` marking valid frames.
+    """
+    rng_z, rng_stoc = jax.random.split(rng)
+    mu_x, logw, x_mask = model.apply(
+        variables, x, x_lengths, spk, method="encode"
+    )
+    if x_durations is not None:
+        w = x_durations[:, :, None] * x_mask  # (B, T_x, 1)
+    else:
+        w = jnp.exp(logw) * x_mask
+    w_ceil = jnp.ceil(w) * length_scale
+    y_lengths = jnp.clip(
+        jnp.sum(w_ceil, axis=(1, 2)), 1, max_frames
+    ).astype(jnp.int32)
+
+    y_mask = sequence_mask(y_lengths, max_frames).astype(x_mask.dtype)[:, :, None]
+    attn_mask = x_mask[:, :, 0:1] * y_mask[:, None, :, 0]
+    attn = generate_path(w_ceil[:, :, 0], attn_mask)  # (B, T_x, max_frames)
+
+    mu_y = jnp.einsum("bij,bic->bjc", attn, mu_x)  # (B, max_frames, C)
+
+    z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature
+    dec_out = reverse_diffusion(
+        model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk, rng_stoc
+    )
+    return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
+
+
+def predict_lengths(model, variables, x, x_lengths, spk=None):
+    """Duration-only forward (tts.py:282-316): returns w = exp(logw) * mask."""
+    _, logw, x_mask = model.apply(variables, x, x_lengths, spk, method="encode")
+    return jnp.exp(logw) * x_mask
+
+
+def frame_bucket(predicted_frames: int, buckets=(128, 256, 384, 512, 768, 1024)) -> int:
+    """Pick the smallest static bucket holding `predicted_frames` (U-Net
+    compatible); falls back to rounding up to a multiple of 4."""
+    for b in buckets:
+        if predicted_frames <= b:
+            return b
+    return fix_len_compatibility(predicted_frames)

@@ -1,0 +1,182 @@
+"""2D U-Net score estimator for the diffusion decoder.
+
+Equivalent of `GradLogPEstimator2d` (`/root/reference/src/model/diffusion.py:
+140-252`): the (mu, x_t[, spk]) stack is treated as a 2-/3-channel image of
+shape (n_feats, T); three resolutions (dim_mults 1,2,4) of
+[ResnetBlock x2, rezero linear attention, down/upsample]; a time MLP over a
+sinusoidal embedding (pe_scale 1000); masks coarsened by striding the frame
+axis at each downsampling (diffusion.py:233).
+
+TPU-first layout: NHWC images `(B, n_feats, T, C)` so 3x3 convs lower to MXU
+convolutions with channels on lanes; mask is `(B, 1, T, 1)` and broadcasts
+across the feature-height axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from arttts_tpu.models.convs import ConvTranspose2dTorch
+
+
+def mish(x):
+    return x * jnp.tanh(nn.softplus(x))
+
+
+class SinusoidalPosEmb(nn.Module):
+    """diffusion.py:125-137."""
+
+    dim: int
+
+    def __call__(self, t, scale: float = 1000.0):
+        half_dim = self.dim // 2
+        freq = jnp.exp(
+            jnp.arange(half_dim, dtype=jnp.float32) * -(math.log(10000.0) / (half_dim - 1))
+        )
+        emb = scale * t[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class Block2d(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish, masked in/out (diffusion.py:52-65)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.Conv(self.dim_out, (3, 3), padding="SAME")(x * mask)
+        h = nn.GroupNorm(num_groups=self.groups)(h)
+        return mish(h) * mask
+
+
+class ResnetBlock2d(nn.Module):
+    """Two blocks + time-MLP injection + 1x1 residual (diffusion.py:68-85)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, time_emb):
+        h = Block2d(self.dim_out, self.groups)(x, mask)
+        t = nn.Dense(self.dim_out)(mish(time_emb))  # (B, dim_out)
+        h = h + t[:, None, None, :]
+        h = Block2d(self.dim_out, self.groups)(h, mask)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1))(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention2d(nn.Module):
+    """Softmax-k linear attention over the (n_feats x T) plane
+    (diffusion.py:88-112)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        k = nn.softmax(k, axis=1)  # softmax over spatial positions
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(B, H, W, hidden)
+        return nn.Conv(C, (1, 1))(out)
+
+
+class Rezero(nn.Module):
+    """Residual(Rezero(fn)): x + g * fn(x), g zero-init (diffusion.py:39-49)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        return x + self.fn(x) * g
+
+
+class Downsample2d(nn.Module):
+    """conv 3x3 stride 2 pad 1 (diffusion.py:30-36)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+
+
+class GradLogPEstimator2d(nn.Module):
+    """U-Net noise estimator. Inputs in `(B, T, n_feats)`; internally NHWC
+    images `(B, n_feats, T, C)`."""
+
+    dim: int
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    groups: int = 8
+    n_spks: int = 1
+    spk_emb_dim: int = 64
+    n_feats: int = 80
+    pe_scale: int = 1000
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
+        """x, mu: (B, T, n_feats); mask: (B, T, 1); t: (B,). Returns (B, T, n_feats)."""
+        t_emb = SinusoidalPosEmb(self.dim)(t, scale=self.pe_scale)
+        t_emb = nn.Dense(self.dim * 4)(t_emb)
+        t_emb = nn.Dense(self.dim)(mish(t_emb))
+
+        # (B, T, F) -> image (B, F, T, C)
+        planes = [jnp.transpose(mu, (0, 2, 1)), jnp.transpose(x, (0, 2, 1))]
+        if self.n_spks > 1:
+            assert spk is not None
+            s = nn.Dense(self.spk_emb_dim * 4)(spk)
+            s = nn.Dense(self.n_feats)(mish(s))  # (B, n_feats)
+            planes.append(jnp.broadcast_to(s[:, :, None], planes[0].shape))
+        h = jnp.stack(planes, axis=-1)  # (B, F, T, 2 or 3)
+        mask_img = mask[:, None, :, :]  # (B, 1, T, 1)
+
+        dims = [h.shape[-1]] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        hiddens = []
+        masks = [mask_img]
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= num_res - 1
+            m = masks[-1]
+            h = ResnetBlock2d(dim_out, self.groups)(h, m, t_emb)
+            h = ResnetBlock2d(dim_out, self.groups)(h, m, t_emb)
+            h = Rezero(LinearAttention2d())(h)
+            hiddens.append(h)
+            if not is_last:
+                h = Downsample2d(dim_out)(h * m)
+            masks.append(m[:, :, ::2, :])
+
+        masks = masks[:-1]
+        m_mid = masks[-1]
+        mid_dim = dims[-1]
+        h = ResnetBlock2d(mid_dim, self.groups)(h, m_mid, t_emb)
+        h = Rezero(LinearAttention2d())(h)
+        h = ResnetBlock2d(mid_dim, self.groups)(h, m_mid, t_emb)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
+            m = masks.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock2d(dim_in, self.groups)(h, m, t_emb)
+            h = ResnetBlock2d(dim_in, self.groups)(h, m, t_emb)
+            h = Rezero(LinearAttention2d())(h)
+            h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
+
+        h = Block2d(self.dim, self.groups)(h, mask_img)
+        out = nn.Conv(1, (1, 1))(h * mask_img)  # (B, F, T, 1)
+        out = out[..., 0] * mask_img[..., 0]  # (B, F, T)
+        return jnp.transpose(out, (0, 2, 1))  # (B, T, F)
