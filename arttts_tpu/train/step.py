@@ -1,0 +1,155 @@
+"""Jitted SPMD training step.
+
+The reference trains with a host-side epoch loop, Adam(1e-4), per-submodule
+gradient clipping to max-norm 1 (`/root/reference/src/train.py:166-199`), and
+DDP gradient all-reduce for multi-GPU (`train_v1_1_dist.py`). Here the whole
+step — encoder fwd, in-graph MAS, segment cut, U-Net fwd/bwd, clip, Adam —
+is one jitted XLA program. Data parallelism comes from sharding the batch
+over the mesh's "data" axis; GSPMD inserts the gradient all-reduces over ICI
+(no DDP hooks, no NCCL: SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from arttts_tpu.parallel.mesh import batch_sharding, replicated
+from arttts_tpu.train.losses import grad_tts_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def per_submodule_clip(max_norm: float) -> optax.GradientTransformation:
+    """Clip gradient global-norm *per top-level submodule* to `max_norm`,
+    mirroring the reference's separate encoder/decoder clip
+    (train.py:176-181). Returns the clipped updates and, as a side channel,
+    nothing — norms are recomputed in metrics if needed."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_subtree(subtree):
+            norm = optax.global_norm(subtree)
+            scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+            return jax.tree_util.tree_map(lambda g: g * scale, subtree)
+
+        # updates is a dict keyed by top-level submodule name
+        clipped = {k: clip_subtree(v) for k, v in updates.items()}
+        return clipped, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(learning_rate: float, grad_clip_norm: float = 1.0):
+    """Adam(lr) with per-submodule clipping (ref train.py:163,176-181)."""
+    return optax.chain(
+        per_submodule_clip(grad_clip_norm),
+        optax.adam(learning_rate),
+    )
+
+
+def create_train_state(model, variables, learning_rate: float, grad_clip_norm: float = 1.0):
+    params = variables["params"]
+    tx = make_optimizer(learning_rate, grad_clip_norm)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    out_size: Optional[int],
+    loss_fn: Callable = grad_tts_loss,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build a jitted train step. With a mesh, inputs are annotated so the
+    batch shards over "data" and the state replicates (GSPMD DP)."""
+
+    def step_fn(state: TrainState, rng, batch):
+        def loss_of(params):
+            total, parts = loss_fn(
+                model,
+                {"params": params},
+                rng,
+                batch["x"],
+                batch["x_lengths"],
+                batch["y"],
+                batch["y_lengths"],
+                spk=batch.get("spk"),
+                out_size=out_size,
+                train=True,
+            )
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        metrics = dict(parts)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is not None:
+        b = batch_sharding(mesh)
+        r = replicated(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(r, r, b),
+            out_shardings=(r, r),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Callable = grad_tts_loss, mesh=None):
+    """Validation loss without the segment cut (full sequences), no grads."""
+
+    def step_fn(state: TrainState, rng, batch):
+        total, parts = loss_fn(
+            model,
+            {"params": state.params},
+            rng,
+            batch["x"],
+            batch["x_lengths"],
+            batch["y"],
+            batch["y_lengths"],
+            spk=batch.get("spk"),
+            out_size=None,
+            train=False,
+        )
+        metrics = dict(parts)
+        metrics["total_loss"] = total
+        return metrics
+
+    if mesh is not None:
+        b = batch_sharding(mesh)
+        r = replicated(mesh)
+        return jax.jit(step_fn, in_shardings=(r, r, b), out_shardings=r)
+    return jax.jit(step_fn)
