@@ -1,0 +1,182 @@
+"""Host-side batching for static-shape TPU programs.
+
+The reference pads each batch to its own max length
+(`/root/reference/src/data.py:185-207`), which on TPU would recompile per
+batch. Here batches pad to a small set of *static buckets* (text and frame
+axes independently), so jit caches a handful of executables. Length-grouped
+batch ordering replicates the reference samplers
+(`voxcommunis/sampler.py:24-97`, `balance_batch.py:101-157`): shuffle
+mega-batches of batch_size*50, sort by length inside, emit longest batch
+first (OOM early). Per-host sharding for multi-host DP replaces
+`DistributedSampler` rank slicing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from arttts_tpu.ops.shape import fix_len_compatibility
+
+DEFAULT_TEXT_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+DEFAULT_FRAME_BUCKETS = (128, 256, 384, 512, 640, 768, 1024, 1536, 2048)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return fix_len_compatibility(n)
+
+
+def pad_batch(
+    items: List[Dict[str, np.ndarray]],
+    text_buckets: Sequence[int] = DEFAULT_TEXT_BUCKETS,
+    frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+    min_frames: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Zero-pad a list of {"x", "y"[, extras]} items into one dense batch.
+
+    x: (T_x,) int ids or (T_x, C) float; y: (T_y, C) float.
+    `min_frames` lets training guarantee T_y >= out_size for the segment cut.
+    Extra per-item keys: "spk" (scalar or vector), "durations" (T_x,).
+    """
+    B = len(items)
+    x_lens = np.array([it["x"].shape[0] for it in items], np.int32)
+    y_lens = np.array([it["y"].shape[0] for it in items], np.int32)
+    T_x = pick_bucket(int(x_lens.max()), text_buckets)
+    frames = int(y_lens.max()) if min_frames is None else max(int(y_lens.max()), min_frames)
+    T_y = pick_bucket(fix_len_compatibility(frames), frame_buckets)
+
+    x0 = items[0]["x"]
+    if x0.ndim == 1:
+        x = np.zeros((B, T_x), dtype=x0.dtype)
+    else:
+        x = np.zeros((B, T_x, x0.shape[1]), dtype=np.float32)
+    y = np.zeros((B, T_y, items[0]["y"].shape[1]), dtype=np.float32)
+    batch = {}
+    for i, it in enumerate(items):
+        x[i, : x_lens[i]] = it["x"]
+        y[i, : y_lens[i]] = it["y"]
+    batch.update({"x": x, "x_lengths": x_lens, "y": y, "y_lengths": y_lens})
+
+    if "spk" in items[0]:
+        batch["spk"] = np.stack([np.asarray(it["spk"]) for it in items])
+    if "durations" in items[0]:
+        dur = np.zeros((B, T_x), np.float32)
+        for i, it in enumerate(items):
+            dur[i, : x_lens[i]] = it["durations"]
+        batch["durations"] = dur
+    return batch
+
+
+class BucketBatcher:
+    """Length-grouped batch index generator with optional per-host sharding.
+
+    mega_batch_mult follows the HF recipe used by the reference samplers:
+    shuffle indices, split into mega-batches of batch_size*50, sort each by
+    length descending, then move the globally longest batch first.
+    """
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 37,
+        mega_batch_mult: Optional[int] = None,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        drop_last: bool = True,
+    ):
+        self.lengths = np.asarray(lengths)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.mega_batch_mult = mega_batch_mult or min(
+            len(lengths) // (batch_size * 4), 50
+        ) or 1
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = len(self.lengths)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+
+        mega = self.batch_size * self.mega_batch_mult
+        grouped: List[np.ndarray] = []
+        for i in range(0, n, mega):
+            chunk = order[i : i + mega]
+            chunk = chunk[np.argsort(-self.lengths[chunk], kind="stable")]
+            grouped.append(chunk)
+        indices = np.concatenate(grouped) if grouped else np.empty(0, np.int64)
+
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        if len(batches) > 1:
+            # put the longest batch first so OOMs surface immediately
+            longest = max(
+                range(len(batches)), key=lambda b: self.lengths[batches[b]].max()
+            )
+            batches[0], batches[longest] = batches[longest], batches[0]
+        # per-host sharding (multi-host DP): host h takes every num_hosts-th batch
+        for b in batches[self.host_id :: self.num_hosts]:
+            yield b
+
+    def __len__(self) -> int:
+        n_batches = (
+            len(self.lengths) // self.batch_size
+            if self.drop_last
+            else math.ceil(len(self.lengths) / self.batch_size)
+        )
+        return math.ceil((n_batches - self.host_id) / self.num_hosts)
+
+
+class DataLoader:
+    """Minimal host loader: dataset + BucketBatcher + pad_batch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 37,
+        min_frames: Optional[int] = None,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        length_grouped: bool = True,
+    ):
+        self.dataset = dataset
+        lengths = dataset.lengths() if length_grouped else np.zeros(len(dataset))
+        self.batcher = BucketBatcher(
+            lengths,
+            batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            host_id=host_id,
+            num_hosts=num_hosts,
+        )
+        self.min_frames = min_frames
+
+    def set_epoch(self, epoch: int):
+        self.batcher.set_epoch(epoch)
+
+    def __iter__(self):
+        for idx in self.batcher:
+            items = [self.dataset[int(i)] for i in idx]
+            yield pad_batch(items, min_frames=self.min_frames)
+
+    def __len__(self):
+        return len(self.batcher)
