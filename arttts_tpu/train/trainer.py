@@ -1,0 +1,271 @@
+"""Config-driven trainer: the TPU equivalent of the reference's
+`train*.py` scripts (`/root/reference/src/train.py:72-333`,
+`train_v1_1_dist.py`).
+
+One Trainer covers all experiment versions: the preset selects dataset,
+model family, and loss. The epoch loop stays on host; each step is one
+jitted SPMD program (mesh DP replaces `mp.spawn` + NCCL DDP). Per epoch:
+scalar TB logging, periodic validation + fixed-batch synthesis images
+(`train.py:289-333`), early stopping, and `grad_{epoch}` / `grad_best`
+checkpoints that — unlike the reference — include optimizer state
+(SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arttts_tpu.core.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from arttts_tpu.core.config import ExperimentConfig
+from arttts_tpu.data.batching import DataLoader
+from arttts_tpu.infer.sampler import synthesize
+from arttts_tpu.models.tts import GradTTSModel
+from arttts_tpu.ops.shape import fix_len_compatibility
+from arttts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from arttts_tpu.train.losses import grad_tts_loss
+from arttts_tpu.train.step import create_train_state, make_eval_step, make_train_step
+from arttts_tpu.utils.early_stopping import EarlyStopping
+
+log = logging.getLogger("arttts_tpu.train")
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        train_dataset,
+        valid_dataset=None,
+        mesh=None,
+        use_mesh: bool = False,
+        log_dir: Optional[str] = None,
+        tb_writer=None,
+    ):
+        self.config = config
+        self.model = GradTTSModel(config=config.model)
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        self.log_dir = Path(log_dir or config.train.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.tb = tb_writer
+        if self.tb is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.log_dir))
+            except Exception:  # headless/test environments
+                self.tb = None
+
+        t = config.train
+        self.train_loader = DataLoader(
+            train_dataset,
+            batch_size=t.batch_size,
+            seed=t.random_seed,
+            min_frames=t.out_size,
+        )
+        self.valid_loader = (
+            DataLoader(
+                valid_dataset,
+                batch_size=t.batch_size,
+                shuffle=False,
+                min_frames=t.out_size,
+            )
+            if valid_dataset is not None
+            else None
+        )
+        self.valid_dataset = valid_dataset
+
+        self.rng = jax.random.PRNGKey(t.random_seed)
+        self._build_state(train_dataset)
+        self.train_step = make_train_step(
+            self.model, out_size=t.out_size, loss_fn=grad_tts_loss, mesh=self.mesh
+        )
+        self.eval_step = make_eval_step(self.model, loss_fn=grad_tts_loss, mesh=None)
+        self.early_stopping = EarlyStopping(patience=t.patience, step_size=t.save_every)
+        self.start_epoch = 1
+
+    # ------------------------------------------------------------------
+    def _build_state(self, dataset):
+        item = dataset[0]
+        x = np.asarray(item["x"])[None]
+        y = np.asarray(item["y"])[None].astype(np.float32)
+        key, self.rng = jax.random.split(self.rng)
+        variables = self.model.init(
+            {"params": key, "dropout": key},
+            jnp.asarray(x),
+            jnp.array([x.shape[1]], jnp.int32),
+            jnp.asarray(y),
+            jnp.ones((1, y.shape[1], 1)),
+            jnp.zeros((1,)),
+        )
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+        log.info("Total parameters: %.2fm", n_params / 1e6)
+        self.state = create_train_state(
+            self.model,
+            variables,
+            self.config.train.learning_rate,
+            self.config.train.grad_clip_norm,
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+
+    # ------------------------------------------------------------------
+    def resume(self, ckpt_path: Optional[str] = None) -> int:
+        """Restore params/opt_state/early-stopping; returns start epoch."""
+        path = ckpt_path or latest_checkpoint(str(self.log_dir))
+        if path is None:
+            return 1
+        restored = load_checkpoint(
+            path, target={"params": self.state.params, "opt_state": self.state.opt_state}
+        )
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"]
+        )
+        if "early_stop" in restored["extra"]:
+            self.early_stopping = EarlyStopping.from_state_dict(
+                restored["extra"]["early_stop"]
+            )
+        self.start_epoch = restored["extra"].get("epoch", restored["step"]) + 1
+        log.info("Resumed from %s at epoch %d", path, self.start_epoch)
+        return self.start_epoch
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        agg: Dict[str, list] = {}
+        for batch in self.train_loader:
+            key, self.rng = jax.random.split(self.rng)
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            else:
+                batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            self.state, metrics = self.train_step(self.state, key, batch)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        # one host sync per epoch
+        out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in agg.items()}
+        if self.tb:
+            for k, v in out.items():
+                self.tb.add_scalar(f"training/{k}", v, epoch)
+        return out
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        if self.valid_loader is None:
+            return {}
+        agg: Dict[str, list] = {}
+        for batch in self.valid_loader:
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            metrics = self.eval_step(self.state, jax.random.PRNGKey(0), batch)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+        out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in agg.items()}
+        if self.tb:
+            for k, v in out.items():
+                self.tb.add_scalar(f"validation/{k}", v, epoch)
+        return out
+
+    def synthesize_samples(self, epoch: int, n_timesteps: int = 50):
+        """Fixed-batch synthesis images (ref train.py:289-333)."""
+        if self.valid_dataset is None or self.tb is None:
+            return
+        from arttts_tpu.utils.plotting import plot_alignment, plot_tensor
+
+        items = self.valid_dataset.sample_test_batch(
+            min(self.config.train.test_size, len(self.valid_dataset))
+        )
+        for i, item in enumerate(items):
+            x = np.asarray(item["x"])[None]
+            key, self.rng = jax.random.split(self.rng)
+            max_frames = fix_len_compatibility(
+                max(64, 2 * np.asarray(item["y"]).shape[0])
+            )
+            enc, dec, attn, y_len = synthesize(
+                self.model,
+                {"params": self.state.params},
+                key,
+                jnp.asarray(x),
+                jnp.array([x.shape[1]], jnp.int32),
+                n_timesteps=n_timesteps,
+                max_frames=int(max_frames),
+            )
+            L = int(np.asarray(y_len)[0])
+            self.tb.add_image(
+                f"image_{i}/generated_dec",
+                plot_tensor(np.asarray(dec)[0, :L].T),
+                global_step=epoch,
+                dataformats="HWC",
+            )
+            self.tb.add_image(
+                f"image_{i}/alignment",
+                plot_alignment(np.asarray(attn)[0, :, :L]),
+                global_step=epoch,
+                dataformats="HWC",
+            )
+
+    # ------------------------------------------------------------------
+    def fit(self, n_epochs: Optional[int] = None) -> Dict[str, float]:
+        t = self.config.train
+        n_epochs = n_epochs or t.n_epochs
+        last_metrics: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, n_epochs + 1):
+            t0 = time.time()
+            train_metrics = self.train_epoch(epoch)
+            last_metrics = train_metrics
+            log.info(
+                "epoch %d: loss=%.4f (dur=%.4f prior=%.4f diff=%.4f) %.1fs",
+                epoch,
+                train_metrics.get("total_loss", float("nan")),
+                train_metrics.get("dur_loss", float("nan")),
+                train_metrics.get("prior_loss", float("nan")),
+                train_metrics.get("diff_loss", float("nan")),
+                time.time() - t0,
+            )
+            with open(self.log_dir / "train.log", "a") as f:
+                f.write(f"{epoch}\t{train_metrics}\n")
+
+            if epoch % t.val_every == 0:
+                val_metrics = self.validate(epoch)
+                with open(self.log_dir / "val.log", "a") as f:
+                    f.write(f"{epoch}\t{val_metrics}\n")
+
+            if epoch % t.save_every == 0:
+                self.synthesize_samples(epoch)
+                ref = val_metrics if epoch % t.val_every == 0 else train_metrics
+                losses = [
+                    ref.get("prior_loss", float("inf")),
+                    ref.get("diff_loss", float("inf")),
+                    ref.get("dur_loss", float("inf")),
+                    ref.get("total_loss", float("inf")),
+                ]
+                counter, improved = self.early_stopping.step(losses)
+                extra = {
+                    "epoch": epoch,
+                    "early_stop": self.early_stopping.state_dict(),
+                }
+                params = jax.device_get(self.state.params)
+                opt_state = jax.device_get(self.state.opt_state)
+                save_checkpoint(
+                    str(self.log_dir), f"grad_{epoch}", params, opt_state, epoch, extra
+                )
+                if improved:
+                    save_checkpoint(
+                        str(self.log_dir), "grad_best", params, opt_state, epoch, extra
+                    )
+                if self.early_stopping.should_stop:
+                    log.info("Early stopping at epoch %d", epoch)
+                    break
+        params = jax.device_get(self.state.params)
+        save_checkpoint(
+            str(self.log_dir),
+            "grad_final",
+            params,
+            jax.device_get(self.state.opt_state),
+            n_epochs,
+            {"epoch": n_epochs, "early_stop": self.early_stopping.state_dict()},
+        )
+        return last_metrics
