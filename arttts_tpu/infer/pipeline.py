@@ -1,0 +1,171 @@
+"""Inference pipeline stages with the reference's filesystem contract.
+
+Stage 1 (acoustic, ref `arttts_inference.py:317-379`): per sample, save
+`{sample_id}.npy` of shape (29, T) for articulatory versions — 14 reordered
+encoder rows, 14 reordered decoder rows, 1 input_map row (frame -> input
+token index from the binary alignment) — or (161, T) for mel versions.
+
+Stage 2 (vocoding): mel -> wav through the converted HiFi-GAN
+(`vocoder_inference.py:76-141`), or articulatory -> wav through the SPARC
+FiLM generator with pitch/loudness denormalization
+(`hifigan_inference.py:128-217`, `hifigan_inference_ms.py:81-141`).
+
+Downstream consumers (`quanti_art_voxcom.py:104-118`) glob these artifacts;
+keeping the shapes/layout identical makes the two frameworks' stages
+interchangeable.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arttts_tpu.core.config import SPARC_REORDER_FEATS, ExperimentConfig
+from arttts_tpu.infer.sampler import frame_bucket, synthesize
+from arttts_tpu.models.tts import GradTTSModel
+from arttts_tpu.ops.shape import fix_len_compatibility
+
+
+def run_acoustic_inference(
+    config: ExperimentConfig,
+    variables,
+    dataset,
+    save_dir: str,
+    n_timesteps: int = 50,
+    temperature: float = 1.0,
+    length_scale: float = 1.0,
+    use_align: bool = False,
+    seed: int = 37,
+    max_frames_cap: int = 2048,
+) -> list:
+    """Run per-sample synthesis over `dataset`, saving the (29|161, T) npy
+    contract. Returns the list of saved paths."""
+    model = GradTTSModel(config=config.model)
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    is_artic = config.model.n_feats == 16
+    rng = jax.random.PRNGKey(seed)
+    saved = []
+    for index in range(len(dataset)):
+        item = dataset[index]
+        x = np.asarray(item["x"])[None]
+        x_lengths = jnp.array([x.shape[1]], jnp.int32)
+        durations = None
+        if use_align and "durations" in item:
+            durations = jnp.asarray(np.ceil(item["durations"])[None])
+        rng, key = jax.random.split(rng)
+        # static bucket from predicted/aligned length keeps jit caches small
+        if durations is not None:
+            pred_frames = int(np.ceil(np.asarray(durations).sum()))
+        else:
+            pred_frames = min(
+                max_frames_cap, max(64, 16 * x.shape[1])
+            )  # loose upper bound; masked anyway
+        max_frames = frame_bucket(min(fix_len_compatibility(pred_frames), max_frames_cap))
+        enc, dec, attn, y_len = synthesize(
+            model,
+            variables,
+            key,
+            jnp.asarray(x),
+            x_lengths,
+            n_timesteps=n_timesteps,
+            max_frames=int(max_frames),
+            temperature=temperature,
+            length_scale=length_scale,
+            x_durations=durations,
+        )
+        L = int(np.asarray(y_len)[0])
+        enc_np = np.asarray(enc)[0, :L]  # (L, n_feats)
+        dec_np = np.asarray(dec)[0, :L]
+        attn_np = np.asarray(attn)[0, :, :L]  # (T_x, L)
+        input_map = attn_np.argmax(axis=0)  # frame -> input token index
+        if is_artic:
+            enc_np = enc_np[:, list(SPARC_REORDER_FEATS)]  # (L, 14)
+            dec_np = dec_np[:, list(SPARC_REORDER_FEATS)]
+        out = np.vstack([enc_np.T, dec_np.T, input_map[None, :]])  # (29|161, L)
+        sample_id = Path(dataset.entries[index][0]).stem
+        path = save_dir / f"{sample_id}.npy"
+        np.save(path, out.astype(np.float32))
+        saved.append(str(path))
+    return saved
+
+
+def split_acoustic_artifact(arr: np.ndarray, n_feats: int = 14):
+    """(2*n_feats+1, T) artifact -> (enc (T, n), dec (T, n), input_map (T,))."""
+    enc = arr[:n_feats].T
+    dec = arr[n_feats : 2 * n_feats].T
+    input_map = arr[2 * n_feats]
+    return enc, dec, input_map
+
+
+def run_mel_vocoder(
+    generator, gen_variables, artifact_paths, save_dir: str, sample_rate: int = 22050
+) -> list:
+    """Saved (161, T) mel artifacts -> wav via HiFi-GAN
+    (vocoder_inference.py:137-141)."""
+    from arttts_tpu.audio.io import save_wav
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    apply = jax.jit(lambda v, m: generator.apply(v, m))
+    saved = []
+    for p in artifact_paths:
+        arr = np.load(p)
+        _, dec, _ = split_acoustic_artifact(arr, n_feats=80)
+        wav = np.asarray(apply(gen_variables, jnp.asarray(dec[None])))[0, :, 0]
+        out = save_dir / (Path(p).stem + ".wav")
+        save_wav(out, wav, sample_rate)
+        saved.append(str(out))
+    return saved
+
+
+def denormalize_sparc_features(
+    dec: np.ndarray,
+    pitch_stats: tuple,
+    loudness_stats: Optional[tuple] = None,
+) -> np.ndarray:
+    """Undo the dataset normalization before vocoding
+    (hifigan_inference.py:185-205): pitch ch 12 back to Hz via mu + z*std;
+    loudness ch 13 via exp(mu + z*std) when it was log-normalized."""
+    out = dec.copy()
+    mu_p, std_p = pitch_stats
+    out[:, 12] = out[:, 12] * std_p + mu_p
+    if loudness_stats is not None:
+        mu_l, std_l = loudness_stats
+        out[:, 13] = np.exp(out[:, 13] * std_l + mu_l)
+    return out
+
+
+def run_sparc_vocoder(
+    generator,
+    gen_variables,
+    artifact_paths,
+    spk_ft: np.ndarray,
+    save_dir: str,
+    pitch_stats: tuple,
+    loudness_stats: Optional[tuple] = None,
+    sample_rate: int = 16000,
+) -> list:
+    """Saved (29, T) articulatory artifacts -> wav via the FiLM generator
+    (hifigan_inference_ms.py:91-141)."""
+    from arttts_tpu.audio.io import save_wav
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    apply = jax.jit(lambda v, c, s: generator.apply(v, c, s))
+    saved = []
+    for p in artifact_paths:
+        arr = np.load(p)
+        _, dec, _ = split_acoustic_artifact(arr, n_feats=14)
+        dec = denormalize_sparc_features(dec, pitch_stats, loudness_stats)
+        wav = np.asarray(
+            apply(gen_variables, jnp.asarray(dec[None]), jnp.asarray(spk_ft[None]))
+        )[0, :, 0]
+        out = save_dir / (Path(p).stem + ".wav")
+        save_wav(out, wav, sample_rate)
+        saved.append(str(out))
+    return saved
