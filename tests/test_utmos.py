@@ -1,0 +1,93 @@
+"""UTMOS stack tests: BiLSTM vs torch, wav2vec2 vs transformers golden,
+full predictor score protocol."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from arttts_tpu.models.lstm import BiLSTM
+from arttts_tpu.models.utmos import UTMOSPredictor
+from arttts_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from arttts_tpu.utils.torch_convert_utmos import convert_wav2vec2
+
+
+def test_bilstm_matches_torch(rng):
+    I, H, B, T = 12, 8, 3, 9
+    x = rng.standard_normal((B, T, I)).astype(np.float32)
+    lstm = torch.nn.LSTM(I, H, num_layers=1, batch_first=True, bidirectional=True)
+    with torch.no_grad():
+        want, _ = lstm(torch.from_numpy(x))
+    sd = lstm.state_dict()
+    params = {k: sd[k].numpy() for k in sd}
+    model = BiLSTM(input_size=I, hidden_size=H)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-5)
+
+
+SMALL = Wav2Vec2Config(
+    conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+    hidden_dim=24,
+    num_layers=2,
+    num_heads=2,
+    ffn_dim=48,
+    pos_conv_kernel=16,
+    pos_conv_groups=2,
+)
+
+
+def test_wav2vec2_matches_transformers(rng):
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model
+
+    hf_cfg = HFConfig(
+        vocab_size=32,
+        hidden_size=SMALL.hidden_dim,
+        num_hidden_layers=SMALL.num_layers,
+        num_attention_heads=SMALL.num_heads,
+        intermediate_size=SMALL.ffn_dim,
+        conv_dim=[c[0] for c in SMALL.conv_layers],
+        conv_kernel=[c[1] for c in SMALL.conv_layers],
+        conv_stride=[c[2] for c in SMALL.conv_layers],
+        num_feat_extract_layers=len(SMALL.conv_layers),
+        num_conv_pos_embeddings=SMALL.pos_conv_kernel,
+        num_conv_pos_embedding_groups=SMALL.pos_conv_groups,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        hidden_act="gelu",
+    )
+    hf = Wav2Vec2Model(hf_cfg).eval()
+    wav = rng.standard_normal((2, 800)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+
+    params = convert_wav2vec2(
+        hf.state_dict(), num_layers=SMALL.num_layers, num_heads=SMALL.num_heads,
+        naming="hf",
+    )
+    enc = Wav2Vec2Encoder(SMALL)
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(wav)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_utmos_predictor_shapes(rng):
+    model = UTMOSPredictor(
+        ssl_config=SMALL, lstm_hidden=16, projection_hidden=32
+    )
+    wav = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32) * 0.1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        wav,
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
+    )
+    scores = model.score(variables, wav)
+    assert scores.shape == (2,)
+    # tanh-free head + *2+3: plausible MOS range for random weights
+    assert np.isfinite(np.asarray(scores)).all()
