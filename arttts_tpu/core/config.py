@@ -221,3 +221,11 @@ def get_preset(name: str) -> ExperimentConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
     return PRESETS[name]
+
+
+def register_preset(config: ExperimentConfig) -> None:
+    """Register a custom experiment preset (addressable by name in CLIs)."""
+    global PRESETS
+    if PRESETS is None:
+        PRESETS = _presets()
+    PRESETS[config.name] = config
