@@ -146,14 +146,26 @@ def mas_scan(value, t_xs, t_ys, max_neg_val: float = MAX_NEG_VAL):
     return path.astype(value.dtype)
 
 
-def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def maximum_path(
+    value: jnp.ndarray, mask: jnp.ndarray, backend: str | None = None
+) -> jnp.ndarray:
     """Drop-in equivalent of the reference wrapper
     (`model/monotonic_align/__init__.py:8-23`): masks the log-prior, derives
     per-sample (t_x, t_y) from the mask, runs the DP, returns a float path.
 
     value: (B, T_x, T_y) log-prior; mask: (B, T_x, T_y) 0/1.
+    backend: "pallas" (TPU kernel) | "scan" (portable); auto-selected from
+    the active JAX backend when None.
     """
     value = value * mask
     t_xs = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
     t_ys = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)
-    return mas_scan(value.astype(jnp.float32), t_xs, t_ys).astype(value.dtype)
+    if backend is None:
+        backend = "scan" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from arttts_tpu.ops.mas_pallas import mas_pallas
+
+        path = mas_pallas(value.astype(jnp.float32), t_xs, t_ys)
+    else:
+        path = mas_scan(value.astype(jnp.float32), t_xs, t_ys)
+    return path.astype(value.dtype)
