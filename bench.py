@@ -1,12 +1,13 @@
-"""Benchmark: end-to-end acoustic synthesis RTF on the current JAX backend.
+"""Benchmark: end-to-end text->waveform RTF on the current JAX backend.
 
-Measures the reference's headline inference protocol (BASELINE.md): text->mel
-with the flagship GradTTS v2-scale model, 50 reverse-diffusion Euler steps,
-temperature 1.0 (ref `arttts_inference.py:332-348`), on a typical LJSpeech
-utterance length. Prints ONE JSON line with RTF per chip.
+Measures the reference's headline protocol (BASELINE.md): flagship GradTTS
+v2-scale text->mel (50 reverse-diffusion Euler steps, temperature 1.0, batch
+1 — ref `arttts_inference.py:332-348,227-231`) chained into HiFi-GAN mel
+vocoding (`vocoder_inference.py`), on a typical LJSpeech utterance length.
+Prints ONE JSON line.
 
-vs_baseline: the driver's north-star target is RTF <= 0.02/chip; we report
-vs_baseline = target_rtf / measured_rtf (>1 means faster than target).
+vs_baseline: north-star target is RTF <= 0.02 per chip;
+vs_baseline = target_rtf / measured_rtf (>1 is better than target).
 """
 
 import json
@@ -20,12 +21,13 @@ import numpy as np
 def main():
     from arttts_tpu.core.config import get_preset
     from arttts_tpu.infer.sampler import synthesize
+    from arttts_tpu.models.hifigan import HiFiGANGenerator
     from arttts_tpu.models.tts import GradTTSModel
 
     cfg = get_preset("v2")
     model = GradTTSModel(config=cfg.model)
 
-    B = 1  # reference protocol: batch size 1 (arttts_inference.py:227-231)
+    B = 1  # reference protocol: batch size 1
     T_x = 96  # ~typical LJSpeech sentence, interspersed symbols
     MAX_FRAMES = 768  # ~8.9 s of audio at 22.05 kHz / hop 256
     N_STEPS = 50
@@ -46,8 +48,13 @@ def main():
         jnp.zeros((B,)),
     )
 
+    vocoder = HiFiGANGenerator()
+    mel_dummy = jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
+    voc_vars = vocoder.init(jax.random.PRNGKey(1), mel_dummy)
+    voc_apply = jax.jit(lambda v, m: vocoder.apply(v, m))
+
     def run(k):
-        return synthesize(
+        enc, dec, attn, y_len = synthesize(
             model,
             variables,
             k,
@@ -56,12 +63,12 @@ def main():
             n_timesteps=N_STEPS,
             max_frames=MAX_FRAMES,
         )
+        wav = voc_apply(voc_vars, dec)
+        return wav, y_len
 
-    # compile
     out = run(jax.random.PRNGKey(1))
     jax.block_until_ready(out)
 
-    # timed runs
     n_iters = 5
     start = time.perf_counter()
     for i in range(n_iters):
@@ -69,7 +76,7 @@ def main():
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - start) / n_iters
 
-    frames = int(np.asarray(out[3]).max())
+    frames = int(np.asarray(out[1]).max())
     audio_seconds = frames * 256 / 22050.0
     rtf = elapsed / audio_seconds
 
@@ -77,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "text2mel_rtf_50step",
+                "metric": "text2wav_rtf_50step",
                 "value": round(rtf, 5),
                 "unit": "rtf_per_chip",
                 "vs_baseline": round(target / rtf, 3),
