@@ -57,6 +57,7 @@ def run_acoustic_inference(
         durations = None
         if use_align and "durations" in item:
             durations = jnp.asarray(np.ceil(item["durations"])[None])
+        spk = jnp.asarray(np.asarray(item["spk"])[None]) if "spk" in item else None
         rng, key = jax.random.split(rng)
         # static bucket from predicted/aligned length keeps jit caches small
         if durations is not None:
@@ -76,6 +77,7 @@ def run_acoustic_inference(
             max_frames=int(max_frames),
             temperature=temperature,
             length_scale=length_scale,
+            spk=spk,
             x_durations=durations,
         )
         L = int(np.asarray(y_len)[0])
@@ -87,7 +89,10 @@ def run_acoustic_inference(
             enc_np = enc_np[:, list(SPARC_REORDER_FEATS)]  # (L, 14)
             dec_np = dec_np[:, list(SPARC_REORDER_FEATS)]
         out = np.vstack([enc_np.T, dec_np.T, input_map[None, :]])  # (29|161, L)
-        sample_id = Path(dataset.entries[index][0]).stem
+        if hasattr(dataset, "entries"):
+            sample_id = Path(dataset.entries[index][0]).stem
+        else:  # ms datasets expose a voxcommunis manifest of (file_id, ...)
+            sample_id = dataset.manifest[index][0]
         path = save_dir / f"{sample_id}.npy"
         np.save(path, out.astype(np.float32))
         saved.append(str(path))
