@@ -4,14 +4,19 @@ Batch-vectorized single-program design: the log-prior is laid out
 `(T_y, B, T_x)` so each DP step updates one `(B, T_x)` tile — batch on
 sublanes, text positions on lanes — in a single VPU op chain. The column
 recurrence for frame y reads only frame y-1 (`core.pyx:17-30`), so the whole
-batch advances together through one `fori_loop` of length T_y; the backtrace
-carries a per-sample `(B, 1)` index vector and extracts its decision bit
-with a masked lane-reduction, so it is also fully vectorized over the batch.
+batch advances together through one loop of length T_y.
+
+Two kernel-level optimizations over the naive formulation:
+  * the backtrace *decision rows* (`step-diagonal?` bits) are precomputed in
+    registers during the forward pass — the backtrace loop never touches the
+    DP table again, it just gathers its own bit with a masked lane-reduction
+    and updates a per-sample index vector;
+  * both loops are manually unrolled 4x to amortize Mosaic loop overhead
+    (the per-step tile work is tiny).
 
 This removes the reference's GPU->CPU round trip
-(`monotonic_align/__init__.py:8-23`) and runs the sequential dimension only
-once for the whole batch (the per-sample-grid alternative serializes B
-programs). Exactness vs the NumPy/C++ oracles: tests/test_mas_native.py.
+(`monotonic_align/__init__.py:8-23`). Exactness vs the NumPy/C++ oracles:
+tests/test_mas_native.py.
 """
 
 from __future__ import annotations
@@ -25,16 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from arttts_tpu.ops.mas import MAX_NEG_VAL
 
+_UNROLL = 4
 
-def _mas_kernel(value_ref, t_xs_ref, t_ys_ref, path_ref, dp_ref):
-    T_y, B, T_x = dp_ref.shape
+
+def _mas_kernel(value_ref, t_xs_ref, t_ys_ref, path_ref, dec_ref):
+    T_y, B, T_x = dec_ref.shape
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, B, T_x), 2)
     t_x = t_xs_ref[:, :][None, :, :]  # (1, B, 1)
     t_y = t_ys_ref[:, :][None, :, :]
 
-    # ---- forward max-accumulation ------------------------------------
-    def fwd_body(y, prev):
+    # ---- forward max-accumulation + decision-bit emission --------------
+    def fwd_one(y, prev):
         # prev: (1, B, T_x) accumulated frame y-1
         v_in = value_ref[pl.ds(y, 1), :, :]
         in_band = (xs >= jnp.maximum(0, t_x + y - t_y)) & (
@@ -46,29 +53,43 @@ def _mas_kernel(value_ref, t_xs_ref, t_ys_ref, path_ref, dp_ref):
             xs == 0, jnp.where(y == 0, 0.0, MAX_NEG_VAL), shifted
         )
         row = jnp.where(in_band, jnp.maximum(v_cur, v_prev) + v_in, v_in)
-        dp_ref[pl.ds(y, 1), :, :] = row
+        # backtrace decision for frame y (core.pyx:34): from (x, y) step to
+        # (x-1, y-1) iff x != 0 and (x == y or dp[x, y-1] < dp[x-1, y-1]).
+        dec = (xs != 0) & ((xs == y) | ((y > 0) & (prev < shifted)))
+        dec_ref[pl.ds(y, 1), :, :] = jnp.where(dec, 1.0, 0.0)
         return row
 
-    jax.lax.fori_loop(0, T_y, fwd_body, jnp.zeros((1, B, T_x), jnp.float32))
+    def fwd_body(i, prev):
+        y = i * _UNROLL
+        for k in range(_UNROLL):
+            prev = fwd_one(y + k, prev)
+        return prev
 
-    # ---- backtrace ---------------------------------------------------
-    def bwd_body(i, index):
+    jax.lax.fori_loop(
+        0, T_y // _UNROLL, fwd_body, jnp.zeros((1, B, T_x), jnp.float32)
+    )
+
+    # ---- backtrace -----------------------------------------------------
+    def bwd_one(y, index):
         # index: (1, B, 1) current token per sample
-        y = T_y - 1 - i
         active = y < t_y  # (1, B, 1)
         on_index = xs == index
         path_ref[pl.ds(y, 1), :, :] = jnp.where(active & on_index, 1.0, 0.0)
-        prev_row = dp_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :, :]
-        prev_up = pltpu.roll(prev_row, 1, axis=2)  # dp[y-1, x-1] at lane x
-        dec_row = (xs != 0) & ((xs == y) | ((y > 0) & (prev_row < prev_up)))
+        dec_row = dec_ref[pl.ds(y, 1), :, :]
         dec = (
-            jnp.sum(jnp.where(on_index & dec_row, 1, 0), axis=2, keepdims=True)
-            > 0
+            jnp.sum(jnp.where(on_index, dec_row, 0.0), axis=2, keepdims=True)
+            > 0.0
         )
         return jnp.where(active & dec, index - 1, index)
 
+    def bwd_body(i, index):
+        y = T_y - 1 - i * _UNROLL
+        for k in range(_UNROLL):
+            index = bwd_one(y - k, index)
+        return index
+
     init_index = jnp.maximum(t_x - 1, 0)
-    jax.lax.fori_loop(0, T_y, bwd_body, init_index)
+    jax.lax.fori_loop(0, T_y // _UNROLL, bwd_body, init_index)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -76,7 +97,11 @@ def mas_pallas(value, t_xs, t_ys, interpret: bool = False):
     """value: (B, T_x, T_y) float32 masked log-prior -> float32 paths
     (B, T_x, T_y)."""
     B, T_x, T_y = value.shape
-    value_t = jnp.transpose(value, (2, 0, 1)).astype(jnp.float32)  # (T_y, B, T_x)
+    pad_y = (-T_y) % _UNROLL
+    value_t = jnp.transpose(value, (2, 0, 1)).astype(jnp.float32)  # (T_y,B,T_x)
+    if pad_y:
+        value_t = jnp.pad(value_t, ((0, pad_y), (0, 0), (0, 0)))
+    T_y_p = T_y + pad_y
     path_t = pl.pallas_call(
         _mas_kernel,
         in_specs=[
@@ -85,12 +110,12 @@ def mas_pallas(value, t_xs, t_ys, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_y, B, T_x), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T_y, B, T_x), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((T_y_p, B, T_x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T_y_p, B, T_x), jnp.float32)],
         interpret=interpret,
     )(
         value_t,
         t_xs.astype(jnp.int32)[:, None],
         t_ys.astype(jnp.int32)[:, None],
     )
-    return jnp.transpose(path_t, (1, 2, 0))
+    return jnp.transpose(path_t[:T_y], (1, 2, 0))
