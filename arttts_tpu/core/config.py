@@ -61,6 +61,7 @@ class DecoderConfig:
     attn_heads: int = 4
     attn_dim_head: int = 32
     preblock_kernel: int = 9  # for "unet1d_preblock" (diffusion_1D_preblock.py:69-84)
+    masked_norm: bool = False  # padding-exact GroupNorm stats (batched inference)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,7 @@ class GradTTSModel(nn.Module):
                 spk_emb_dim=c.spk_emb_dim,
                 n_feats=c.n_feats,
                 pe_scale=d.pe_scale,
+                masked_norm=d.masked_norm,
             )
         elif d.kind in ("unet1d", "unet1d_preblock"):
             from arttts_tpu.models.unet1d import GradLogPEstimator1d
@@ -76,6 +77,7 @@ class GradTTSModel(nn.Module):
                 pe_scale=d.pe_scale,
                 use_preblock=(d.kind == "unet1d_preblock"),
                 preblock_kernel=d.preblock_kernel,
+                masked_norm=d.masked_norm,
             )
         else:
             raise ValueError(f"unknown decoder kind {d.kind!r}")

@@ -58,12 +58,18 @@ class Block1d(nn.Module):
 
     dim_out: int
     groups: int = 8
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
+        from arttts_tpu.models.unet2d import MaskedGroupNorm
+
         h = nn.Conv(self.dim_out, (1, 3), padding=((0, 0), (1, 1)))(x * mask)
         h = ArtChannelsAttention(self.dim_out)(h)
-        h = nn.GroupNorm(num_groups=self.groups)(h)
+        if self.masked_norm:
+            h = MaskedGroupNorm(num_groups=self.groups, name="GroupNorm_0")(h, mask)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups)(h)
         return mish(h) * mask
 
 
@@ -87,13 +93,14 @@ class PreBlock(nn.Module):
 class ResnetBlock1d(nn.Module):
     dim_out: int
     groups: int = 8
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = Block1d(self.dim_out, self.groups)(x, mask)
+        h = Block1d(self.dim_out, self.groups, self.masked_norm)(x, mask)
         t = nn.Dense(self.dim_out)(mish(time_emb))
         h = h + t[:, None, None, :]
-        h = Block1d(self.dim_out, self.groups)(h, mask)
+        h = Block1d(self.dim_out, self.groups, self.masked_norm)(h, mask)
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1))(x * mask)
         else:
@@ -113,6 +120,7 @@ class GradLogPEstimator1d(nn.Module):
     pe_scale: int = 1000
     use_preblock: bool = False
     preblock_kernel: int = 9
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
@@ -142,8 +150,8 @@ class GradLogPEstimator1d(nn.Module):
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
             m = masks[-1]
-            h = ResnetBlock1d(dim_out, self.groups)(h, m, t_emb)
-            h = ResnetBlock1d(dim_out, self.groups)(h, m, t_emb)
+            h = ResnetBlock1d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
+            h = ResnetBlock1d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
             h = Rezero(LinearAttention2d())(h)
             hiddens.append(h)
             if not is_last:
@@ -153,19 +161,19 @@ class GradLogPEstimator1d(nn.Module):
         masks = masks[:-1]
         m_mid = masks[-1]
         mid_dim = dims[-1]
-        h = ResnetBlock1d(mid_dim, self.groups)(h, m_mid, t_emb)
+        h = ResnetBlock1d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
         h = Rezero(LinearAttention2d())(h)
-        h = ResnetBlock1d(mid_dim, self.groups)(h, m_mid, t_emb)
+        h = ResnetBlock1d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
 
         for dim_in, dim_out in reversed(in_out[1:]):
             m = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock1d(dim_in, self.groups)(h, m, t_emb)
-            h = ResnetBlock1d(dim_in, self.groups)(h, m, t_emb)
+            h = ResnetBlock1d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
+            h = ResnetBlock1d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
             h = Rezero(LinearAttention2d())(h)
             h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
 
-        h = Block1d(self.dim, self.groups)(h, mask_img)
+        h = Block1d(self.dim, self.groups, self.masked_norm)(h, mask_img)
         out = nn.Conv(1, (1, 1))(h * mask_img)
         out = out[..., 0] * mask_img[..., 0]
         return jnp.transpose(out, (0, 2, 1))

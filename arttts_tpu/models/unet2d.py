@@ -18,6 +18,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from arttts_tpu.models.convs import ConvTranspose2dTorch
@@ -41,16 +42,52 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics exclude padded frames.
+
+    The reference's plain GroupNorm mixes padding into the per-group
+    statistics, which is why its inference runs at batch size 1
+    (`arttts_inference.py:227-231`). With `mask` (B, 1, T, 1) the mean/var
+    are computed over valid positions only, so a padded batched forward is
+    exactly equivalent to per-sample unpadded forwards — enabling real
+    batched serving on TPU.
+    """
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask):
+        B, H, W, C = x.shape
+        G = self.num_groups
+        xg = x.reshape(B, H, W, G, C // G)
+        m = jnp.broadcast_to(mask[..., None], xg.shape)
+        count = jnp.sum(m, axis=(1, 2, 4), keepdims=True) # valid elems/group
+        mean = jnp.sum(xg * m, axis=(1, 2, 4), keepdims=True) / count
+        var = jnp.sum(((xg - mean) * m) ** 2, axis=(1, 2, 4), keepdims=True) / count
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xg.reshape(B, H, W, C)
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return x * scale + bias
+
+
 class Block2d(nn.Module):
-    """conv3x3 -> GroupNorm(8) -> Mish, masked in/out (diffusion.py:52-65)."""
+    """conv3x3 -> GroupNorm(8) -> Mish, masked in/out (diffusion.py:52-65).
+
+    `masked_norm` switches to padding-exact GroupNorm statistics."""
 
     dim_out: int
     groups: int = 8
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
         h = nn.Conv(self.dim_out, (3, 3), padding="SAME")(x * mask)
-        h = nn.GroupNorm(num_groups=self.groups)(h)
+        if self.masked_norm:
+            h = MaskedGroupNorm(num_groups=self.groups, name="GroupNorm_0")(h, mask)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups)(h)
         return mish(h) * mask
 
 
@@ -59,13 +96,14 @@ class ResnetBlock2d(nn.Module):
 
     dim_out: int
     groups: int = 8
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = Block2d(self.dim_out, self.groups)(x, mask)
+        h = Block2d(self.dim_out, self.groups, self.masked_norm)(x, mask)
         t = nn.Dense(self.dim_out)(mish(time_emb))  # (B, dim_out)
         h = h + t[:, None, None, :]
-        h = Block2d(self.dim_out, self.groups)(h, mask)
+        h = Block2d(self.dim_out, self.groups, self.masked_norm)(h, mask)
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1))(x * mask)
         else:
@@ -126,6 +164,7 @@ class GradLogPEstimator2d(nn.Module):
     spk_emb_dim: int = 64
     n_feats: int = 80
     pe_scale: int = 1000
+    masked_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
@@ -153,8 +192,8 @@ class GradLogPEstimator2d(nn.Module):
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
             m = masks[-1]
-            h = ResnetBlock2d(dim_out, self.groups)(h, m, t_emb)
-            h = ResnetBlock2d(dim_out, self.groups)(h, m, t_emb)
+            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
+            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
             h = Rezero(LinearAttention2d())(h)
             hiddens.append(h)
             if not is_last:
@@ -164,19 +203,19 @@ class GradLogPEstimator2d(nn.Module):
         masks = masks[:-1]
         m_mid = masks[-1]
         mid_dim = dims[-1]
-        h = ResnetBlock2d(mid_dim, self.groups)(h, m_mid, t_emb)
+        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
         h = Rezero(LinearAttention2d())(h)
-        h = ResnetBlock2d(mid_dim, self.groups)(h, m_mid, t_emb)
+        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             m = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock2d(dim_in, self.groups)(h, m, t_emb)
-            h = ResnetBlock2d(dim_in, self.groups)(h, m, t_emb)
+            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
+            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
             h = Rezero(LinearAttention2d())(h)
             h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
 
-        h = Block2d(self.dim, self.groups)(h, mask_img)
+        h = Block2d(self.dim, self.groups, self.masked_norm)(h, mask_img)
         out = nn.Conv(1, (1, 1))(h * mask_img)  # (B, F, T, 1)
         out = out[..., 0] * mask_img[..., 0]  # (B, F, T)
         return jnp.transpose(out, (0, 2, 1))  # (B, T, F)
