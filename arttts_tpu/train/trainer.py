@@ -95,7 +95,7 @@ class Trainer:
         x = np.asarray(item["x"])[None]
         y = np.asarray(item["y"])[None].astype(np.float32)
         key, self.rng = jax.random.split(self.rng)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             {"params": key, "dropout": key},
             jnp.asarray(x),
             jnp.array([x.shape[1]], jnp.int32),

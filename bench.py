@@ -39,7 +39,7 @@ def main():
     y_init = jnp.asarray(
         rng.standard_normal((B, 64, cfg.model.n_feats)).astype(np.float32)
     )
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": key, "dropout": key},
         x,
         x_lengths,
@@ -66,13 +66,16 @@ def main():
         wav = voc_apply(voc_vars, dec)
         return wav, y_len
 
-    out = run(jax.random.PRNGKey(1))
+    base_key = jax.random.PRNGKey(1)
+    out = run(base_key)
     jax.block_until_ready(out)
 
-    n_iters = 5
+    n_iters = 20
+    keys = [jax.random.fold_in(base_key, i) for i in range(n_iters)]
+    jax.block_until_ready(keys)  # keys live on device before timing
     start = time.perf_counter()
-    for i in range(n_iters):
-        out = run(jax.random.PRNGKey(2 + i))
+    for k in keys:
+        out = run(k)
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - start) / n_iters
 
