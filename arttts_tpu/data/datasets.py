@@ -240,6 +240,20 @@ class PhnmMelDataset(PhnmArticDataset):
         }
 
 
+class TextMelSpeakerDataset(TextMelDataset):
+    """Multi-speaker text+mel (LibriTTS-style filelists `wav|text|spk_id`,
+    ref data_textmel.py's TextMelSpeaker* collators)."""
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        row = self.entries[index]
+        filepath, text, spk = row[0], row[1], int(row[2])
+        return {
+            "x": self.get_text(text),
+            "y": self.get_mel(filepath),
+            "spk": np.asarray(spk, np.int32),
+        }
+
+
 class TextArtDataset(_Base):
     """v4: GradTTS symbol ids + articulatory target (data_textart.py:38)."""
 

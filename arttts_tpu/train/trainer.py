@@ -178,11 +178,14 @@ class Trainer:
         items = self.valid_dataset.sample_test_batch(
             min(self.config.train.test_size, len(self.valid_dataset))
         )
+        from arttts_tpu.infer.sampler import frame_bucket
+
         for i, item in enumerate(items):
             x = np.asarray(item["x"])[None]
             key, self.rng = jax.random.split(self.rng)
-            max_frames = fix_len_compatibility(
-                max(64, 2 * np.asarray(item["y"]).shape[0])
+            # bucketed static shape: one jit cache entry per bucket
+            max_frames = frame_bucket(
+                fix_len_compatibility(max(64, 2 * np.asarray(item["y"]).shape[0]))
             )
             enc, dec, attn, y_len = synthesize(
                 self.model,
