@@ -1,0 +1,47 @@
+"""Sampler helper tests: frame bucketing, duration-only forward, duration
+override parity with generate_path semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arttts_tpu.infer.sampler import frame_bucket, predict_lengths, synthesize
+from tests.test_model import make_batch, tiny_config
+from arttts_tpu.models.tts import GradTTSModel
+
+
+def test_frame_bucket():
+    assert frame_bucket(100) == 128
+    assert frame_bucket(128) == 128
+    assert frame_bucket(129) == 256
+    assert frame_bucket(5000) == 5000  # beyond buckets: rounded to mult of 4
+
+
+def test_predict_lengths_and_duration_override(rng):
+    cfg = tiny_config()
+    model = GradTTSModel(config=cfg)
+    x, x_lengths, y, _ = make_batch(rng, cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        x, x_lengths, y, jnp.ones((y.shape[0], y.shape[1], 1)), jnp.zeros((2,)),
+    )
+    w = predict_lengths(model, variables, x, x_lengths)
+    assert w.shape == (2, x.shape[1], 1)
+    assert (np.asarray(w) >= 0).all()  # exp(logw) * mask
+
+    # ground-truth durations drive y_lengths exactly (use_align inference)
+    durations = jnp.asarray(
+        rng.integers(1, 3, size=(2, x.shape[1])).astype(np.float32)
+    )
+    enc, dec, attn, y_len = synthesize(
+        model, variables, key, x, x_lengths,
+        n_timesteps=2, max_frames=64, x_durations=durations,
+    )
+    x_mask = np.arange(x.shape[1])[None, :] < np.asarray(x_lengths)[:, None]
+    expected = (np.asarray(durations) * x_mask).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(y_len), expected.astype(np.int64))
+    # alignment durations match the provided ones inside the mask
+    np.testing.assert_allclose(
+        np.asarray(attn).sum(axis=2) * x_mask, np.asarray(durations) * x_mask
+    )
