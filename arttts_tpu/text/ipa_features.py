@@ -85,12 +85,14 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "ɯ": _vowel(1, -1, 1, -1, 1),
     "ɨ": _vowel(1, -1, 0, -1, 1),
     "ʉ": _vowel(1, -1, 0, 1, 1),
+    "ɤ": _vowel(-1, -1, 1, -1, 1),  # Mandarin e
     # --- glides -----------------------------------------------------------
     "w": _cons(son=1, cons=-1, cont=1, voi=1, lab=1, round=1, hi=1, back=1),
     "j": _cons(son=1, cons=-1, cont=1, voi=1, hi=1, back=-1),
     "ɥ": _cons(son=1, cons=-1, cont=1, voi=1, lab=1, round=1, hi=1, back=-1),
     # --- liquids ----------------------------------------------------------
     "l": _cons(son=1, cont=1, lat=1, voi=1, ant=1, cor=1, distr=-1),
+    "ɫ": _cons(son=1, cont=1, lat=1, voi=1, ant=1, cor=1, distr=-1, hi=1, back=1),
     "ɹ": _cons(son=1, cont=1, voi=1, ant=-1, cor=1, distr=-1),
     "ɾ": _cons(son=1, cont=-1, voi=1, ant=1, cor=1, distr=-1),
     "r": _cons(son=1, cont=1, voi=1, ant=1, cor=1, distr=-1, strid=-1),
@@ -143,6 +145,14 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "d͡ʑ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
     "ʈ͡ʂ": _cons(delrel=1, strid=1, ant=-1, cor=1, distr=-1),
     "ɖ͡ʐ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=-1),
+    # --- tone letters (zh-CN and other tonal corpora): only the tonal
+    # traits are marked; "˧" (mid) is the all-zero vector used as the
+    # multilingual silence representative (voxcommunis/decoder.py).
+    "˥": _seg(hitone=1, hireg=1),
+    "˦": _seg(hitone=1, hireg=-1),
+    "˧": _seg(),
+    "˨": _seg(hitone=-1, hireg=1),
+    "˩": _seg(hitone=-1, hireg=-1),
 }
 
 # Diacritic modifiers applied to a base segment (suffix characters).
@@ -153,6 +163,8 @@ _MODIFIERS = {
     "ʰ": {"sg": 1},         # aspiration
     "̥": {"voi": -1},        # devoicing
     "ʲ": {"hi": 1},         # palatalization
+    "̩": {"syl": 1},         # syllabic consonant (MNGU0 m!/n!/l!)
+    "ʷ": {"round": 1, "lab": 1},  # labialization
 }
 
 
