@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--ref-art-dir", help="SPARC re-encodings for quanti_art")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    from arttts_tpu.core.runtime import setup_runtime
+    setup_runtime()
     log = logging.getLogger("pipeline")
 
     workdir = Path(args.workdir)

@@ -18,6 +18,8 @@ def main(argv=None):
     parser.add_argument("--bs", type=int, default=32)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from arttts_tpu.core.runtime import setup_runtime
+    setup_runtime()
 
     from arttts_tpu.eval.utmos_scorer import UTMOSScorer
 

@@ -30,6 +30,8 @@ def main(argv=None):
                         help="use ground-truth phnm3 durations (x_durations)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from arttts_tpu.core.runtime import setup_runtime
+    setup_runtime()
 
     from arttts_tpu.cli.train import build_dataset
     from arttts_tpu.core.checkpoint import load_checkpoint

@@ -82,6 +82,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    from arttts_tpu.core.runtime import setup_runtime
+    setup_runtime()
 
     from arttts_tpu.core.config import get_preset
     from arttts_tpu.train.trainer import Trainer

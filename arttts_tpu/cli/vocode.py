@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--sample-rate", type=int)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from arttts_tpu.core.runtime import setup_runtime
+    setup_runtime()
 
     import torch
     from pathlib import Path
