@@ -37,7 +37,7 @@ class SinusoidalPosEmb(nn.Module):
         half_dim = self.dim // 2
         freq = jnp.exp(
             jnp.arange(half_dim, dtype=jnp.float32) * -(math.log(10000.0) / (half_dim - 1))
-        )
+        ).astype(t.dtype)
         emb = scale * t[:, None] * freq[None, :]
         return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
@@ -113,7 +113,14 @@ class ResnetBlock2d(nn.Module):
 
 class LinearAttention2d(nn.Module):
     """Softmax-k linear attention over the (n_feats x T) plane
-    (diffusion.py:88-112)."""
+    (diffusion.py:88-112).
+
+    MXU note: the naive per-head einsums contract with M=N=dim_head=32,
+    wasting 4x4 of every 128x128 systolic tile. Instead both contractions
+    run at the full head*dim width (128) and the cross-head terms are
+    removed with a block-diagonal mask on the context matrix — identical
+    math, full MXU tiles.
+    """
 
     heads: int = 4
     dim_head: int = 32
@@ -121,14 +128,20 @@ class LinearAttention2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
-        k = nn.softmax(k, axis=1)  # softmax over spatial positions
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
-        out = out.reshape(B, H, W, hidden)
+        hd = self.heads * self.dim_head
+        qkv = nn.Conv(hd * 3, (1, 1), use_bias=False)(x)
+        qkv = qkv.reshape(B, H * W, 3, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h*d)
+        # softmax over spatial positions, per (head, dim) column
+        k = nn.softmax(k.reshape(B, H * W, self.heads, self.dim_head), axis=1)
+        k = k.reshape(B, H * W, hd)
+        # full-width context (B, h*d, h*d); only diagonal head blocks are real
+        context = jnp.einsum("bnd,bne->bde", k, v)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // self.dim_head
+        blk_t = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // self.dim_head
+        context = jnp.where(blk == blk_t, context, 0.0)
+        out = jnp.einsum("bde,bnd->bne", context, q)  # (B, N, h*d)
+        out = out.reshape(B, H, W, hd)
         return nn.Conv(C, (1, 1))(out)
 
 
