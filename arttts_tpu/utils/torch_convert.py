@@ -20,9 +20,20 @@ def _np(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
+def _wn_axes(g: np.ndarray):
+    """Norm axes for torch weight_norm: the kept dim is the one where
+    weight_g has extent > 1 (torch stores g with singleton dims elsewhere);
+    dim=0 when g is all-singletons."""
+    keep = [a for a, s in enumerate(g.shape) if s > 1]
+    kept = keep[0] if keep else 0
+    return tuple(a for a in range(g.ndim) if a != kept)
+
+
 def fold_weight_norm(state_dict: Dict) -> Dict:
     """Fold torch weight_norm pairs (weight_g, weight_v) into plain weights:
-    w = g * v / ||v|| with the norm over all dims except dim 0."""
+    w = g * v / ||v||, norm over all dims except weight_norm's `dim` —
+    inferred from weight_g's shape (dim=0 for HiFi-GAN convs, dim=2 for
+    fairseq's wav2vec2 pos_conv)."""
     out = {}
     for k, v in state_dict.items():
         if k.endswith("weight_g"):
@@ -31,8 +42,7 @@ def fold_weight_norm(state_dict: Dict) -> Dict:
             base = k[: -len("weight_v")]
             g = _np(state_dict[base + "weight_g"]).astype(np.float64)
             vv = _np(v).astype(np.float64)
-            axes = tuple(range(1, vv.ndim))
-            norm = np.sqrt((vv**2).sum(axis=axes, keepdims=True))
+            norm = np.sqrt((vv**2).sum(axis=_wn_axes(g), keepdims=True))
             out[base + "weight"] = (g * vv / norm).astype(np.float32)
         else:
             out[k] = _np(v)

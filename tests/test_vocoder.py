@@ -44,14 +44,15 @@ def test_conv_transpose_matches_torch(rng):
 
 
 def test_fold_weight_norm_matches_torch(rng):
-    conv = torch.nn.Conv1d(4, 8, 3)
-    conv = torch.nn.utils.weight_norm(conv)
-    sd = {f"c.{k}": v for k, v in conv.state_dict().items()}
-    folded = fold_weight_norm(sd)
-    torch.nn.utils.remove_weight_norm(conv)
-    np.testing.assert_allclose(
-        folded["c.weight"], conv.weight.detach().numpy(), atol=1e-6
-    )
+    for dim in (0, 2):  # dim=0: HiFi-GAN convs; dim=2: fairseq pos_conv
+        conv = torch.nn.Conv1d(4, 8, 3)
+        conv = torch.nn.utils.weight_norm(conv, dim=dim)
+        sd = {f"c.{k}": v for k, v in conv.state_dict().items()}
+        folded = fold_weight_norm(sd)
+        torch.nn.utils.remove_weight_norm(conv)
+        np.testing.assert_allclose(
+            folded["c.weight"], conv.weight.detach().numpy(), atol=1e-6
+        )
 
 
 def test_resblock_weight_conversion_parity(rng):
