@@ -49,7 +49,7 @@ class ArtChannelsAttention(nn.Module):
         attn = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhtnm,bhtmd->bhtnd", attn, v)  # (B, h, T, F, d)
         out = jnp.transpose(out, (0, 3, 2, 1, 4)).reshape(B, F, T, hidden)
-        return nn.Conv(self.dim, (1, 1))(out)
+        return nn.Dense(self.dim, name="Conv_1")(out)
 
 
 class Block1d(nn.Module):
@@ -102,7 +102,7 @@ class ResnetBlock1d(nn.Module):
         h = h + t[:, None, None, :]
         h = Block1d(self.dim_out, self.groups, self.masked_norm)(h, mask)
         if x.shape[-1] != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1))(x * mask)
+            res = nn.Dense(self.dim_out, name="Conv_0")(x * mask)
         else:
             res = x * mask
         return h + res
@@ -174,6 +174,6 @@ class GradLogPEstimator1d(nn.Module):
             h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
 
         h = Block1d(self.dim, self.groups, self.masked_norm)(h, mask_img)
-        out = nn.Conv(1, (1, 1))(h * mask_img)
+        out = nn.Dense(1, name="Conv_0")(h * mask_img)
         out = out[..., 0] * mask_img[..., 0]
         return jnp.transpose(out, (0, 2, 1))

@@ -105,7 +105,7 @@ class ResnetBlock2d(nn.Module):
         h = h + t[:, None, None, :]
         h = Block2d(self.dim_out, self.groups, self.masked_norm)(h, mask)
         if x.shape[-1] != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1))(x * mask)
+            res = nn.Dense(self.dim_out, name="Conv_0")(x * mask)
         else:
             res = x * mask
         return h + res
@@ -129,7 +129,10 @@ class LinearAttention2d(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         hd = self.heads * self.dim_head
-        qkv = nn.Conv(hd * 3, (1, 1), use_bias=False)(x)
+        # 1x1 convs lower to spatially-partitioned TPU convolutions with
+        # large layout copies; a Dense over the channel axis is the same
+        # math as one clean matmul.
+        qkv = nn.Dense(hd * 3, use_bias=False, name="Conv_0")(x)
         qkv = qkv.reshape(B, H * W, 3, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h*d)
         # softmax over spatial positions, per (head, dim) column
@@ -142,7 +145,7 @@ class LinearAttention2d(nn.Module):
         context = jnp.where(blk == blk_t, context, 0.0)
         out = jnp.einsum("bde,bnd->bne", context, q)  # (B, N, h*d)
         out = out.reshape(B, H, W, hd)
-        return nn.Conv(C, (1, 1))(out)
+        return nn.Dense(C, name="Conv_1")(out)
 
 
 class Rezero(nn.Module):
@@ -229,6 +232,6 @@ class GradLogPEstimator2d(nn.Module):
             h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
 
         h = Block2d(self.dim, self.groups, self.masked_norm)(h, mask_img)
-        out = nn.Conv(1, (1, 1))(h * mask_img)  # (B, F, T, 1)
+        out = nn.Dense(1, name="Conv_0")(h * mask_img)  # (B, F, T, 1)
         out = out[..., 0] * mask_img[..., 0]  # (B, F, T)
         return jnp.transpose(out, (0, 2, 1))  # (B, T, F)

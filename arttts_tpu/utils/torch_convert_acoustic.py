@@ -79,16 +79,22 @@ def _resnet_block(sd, key):
         "Dense_0": _dense_from_linear(sd, f"{key}.mlp.1"),
     }
     if f"{key}.res_conv.weight" in sd:
-        out["Conv_0"] = _conv2d(sd, f"{key}.res_conv")
+        out["Conv_0"] = _dense_from_conv1x1_2d(sd, f"{key}.res_conv")
+    return out
+
+
+def _dense_from_conv1x1_2d(sd, key):
+    """torch Conv2d (out, in, 1, 1) -> flax Dense kernel (in, out)."""
+    out = {"kernel": _np(sd[f"{key}.weight"])[:, :, 0, 0].T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
     return out
 
 
 def _linear_attention(sd, key):
     return {
-        "Conv_0": {
-            "kernel": np.transpose(_np(sd[f"{key}.to_qkv.weight"]), (2, 3, 1, 0))
-        },
-        "Conv_1": _conv2d(sd, f"{key}.to_out"),
+        "Conv_0": {"kernel": _np(sd[f"{key}.to_qkv.weight"])[:, :, 0, 0].T},
+        "Conv_1": _dense_from_conv1x1_2d(sd, f"{key}.to_out"),
     }
 
 
@@ -192,7 +198,7 @@ def convert_estimator2d(sd: Dict, prefix: str = "decoder.estimator.",
         }
 
     est["Block2d_0"] = _block2d(sd, f"{p}final_block")
-    est["Conv_0"] = _conv2d(sd, f"{p}final_conv")
+    est["Conv_0"] = _dense_from_conv1x1_2d(sd, f"{p}final_conv")
     return est
 
 
