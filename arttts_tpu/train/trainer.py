@@ -209,6 +209,16 @@ class Trainer:
                 global_step=epoch,
                 dataformats="HWC",
             )
+            # DTW of synthesis vs ground truth (ref train_v1_1_dist.py:451-458)
+            try:
+                from arttts_tpu.eval.metrics import normalized_dtw_score
+
+                score, _, _ = normalized_dtw_score(
+                    np.asarray(dec)[0, :L], np.asarray(item["y"])
+                )
+                self.tb.add_scalar(f"validation/dtw_{i}", score, epoch)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------------
     def fit(self, n_epochs: Optional[int] = None) -> Dict[str, float]:
