@@ -30,6 +30,96 @@ from arttts_tpu.models.tts import GradTTSModel
 from arttts_tpu.ops.shape import fix_len_compatibility
 
 
+def _sample_id(dataset, index: int) -> str:
+    if hasattr(dataset, "entries"):
+        return Path(dataset.entries[index][0]).stem
+    return dataset.manifest[index][0]  # voxcommunis manifests
+
+
+def run_acoustic_inference_batched(
+    config: ExperimentConfig,
+    variables,
+    dataset,
+    save_dir: str,
+    batch_size: int = 8,
+    n_timesteps: int = 50,
+    temperature: float = 1.0,
+    seed: int = 37,
+    max_frames_cap: int = 2048,
+) -> list:
+    """Batched synthesis (serving mode): items are length-grouped, padded to
+    shared static buckets, and synthesized `batch_size` sentences per device
+    call. Requires a model built with `decoder.masked_norm=True` for
+    padding-exact outputs (the reference cannot batch at all —
+    `arttts_inference.py:227-231`). Writes the same (29|161, T) artifacts.
+    """
+    import math as _math
+
+    model = GradTTSModel(config=config.model)
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    is_artic = config.model.n_feats == 16
+    rng = jax.random.PRNGKey(seed)
+
+    # gather inputs + order by text length for tight buckets
+    items = [dataset[i] for i in range(len(dataset))]
+    order = sorted(range(len(items)), key=lambda i: items[i]["x"].shape[0])
+    saved = []
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        xs = [np.asarray(items[i]["x"]) for i in idx]
+        B = len(xs)
+        T_x = frame_bucket(max(x.shape[0] for x in xs), buckets=(32, 64, 128, 256, 512))
+        if xs[0].ndim == 1:
+            x = np.zeros((B, T_x), xs[0].dtype)
+        else:
+            x = np.zeros((B, T_x, xs[0].shape[1]), np.float32)
+        for j, xi in enumerate(xs):
+            x[j, : xi.shape[0]] = xi
+        x_lengths = jnp.asarray([xi.shape[0] for xi in xs], jnp.int32)
+        spk = None
+        if "spk" in items[idx[0]]:
+            spk = jnp.asarray(np.stack([np.asarray(items[i]["spk"]) for i in idx]))
+        # predicted frames drive one shared bucket per batch
+        w = predict_frames(model, variables, jnp.asarray(x), x_lengths, spk)
+        pred = int(np.ceil(np.asarray(w).max()))
+        max_frames = frame_bucket(min(fix_len_compatibility(max(pred, 64)), max_frames_cap))
+        rng, key = jax.random.split(rng)
+        enc, dec, attn, y_len = synthesize(
+            model,
+            variables,
+            key,
+            jnp.asarray(x),
+            x_lengths,
+            n_timesteps=n_timesteps,
+            max_frames=int(max_frames),
+            temperature=temperature,
+            spk=spk,
+        )
+        for j, i in enumerate(idx):
+            L = int(np.asarray(y_len)[j])
+            enc_np = np.asarray(enc)[j, :L]
+            dec_np = np.asarray(dec)[j, :L]
+            attn_np = np.asarray(attn)[j, :, :L]
+            input_map = attn_np.argmax(axis=0)
+            if is_artic:
+                enc_np = enc_np[:, list(SPARC_REORDER_FEATS)]
+                dec_np = dec_np[:, list(SPARC_REORDER_FEATS)]
+            out = np.vstack([enc_np.T, dec_np.T, input_map[None, :]])
+            path = save_dir / f"{_sample_id(dataset, i)}.npy"
+            np.save(path, out.astype(np.float32))
+            saved.append(str(path))
+    return saved
+
+
+def predict_frames(model, variables, x, x_lengths, spk=None):
+    """Total predicted frames per sentence (sum of ceil durations)."""
+    from arttts_tpu.infer.sampler import predict_lengths
+
+    w = predict_lengths(model, variables, x, x_lengths, spk)
+    return jnp.sum(jnp.ceil(w[:, :, 0]), axis=1)
+
+
 def run_acoustic_inference(
     config: ExperimentConfig,
     variables,
