@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--length-scale", type=float, default=1.0)
     parser.add_argument("--use-align", action="store_true",
                         help="use ground-truth phnm3 durations (x_durations)")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help=">1 uses batched serving mode (masked-norm model)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from arttts_tpu.core.runtime import setup_runtime
@@ -36,22 +38,41 @@ def main(argv=None):
     from arttts_tpu.cli.train import build_dataset
     from arttts_tpu.core.checkpoint import load_checkpoint
     from arttts_tpu.core.config import get_preset
-    from arttts_tpu.infer.pipeline import run_acoustic_inference
+    from arttts_tpu.infer.pipeline import (
+        run_acoustic_inference,
+        run_acoustic_inference_batched,
+    )
 
     cfg = get_preset(args.preset)
     dataset = build_dataset(cfg, args, args.filelist)
     restored = load_checkpoint(args.ckpt)
     variables = {"params": restored["params"]}
-    paths = run_acoustic_inference(
-        cfg,
-        variables,
-        dataset,
-        args.save_dir,
-        n_timesteps=args.n_timesteps,
-        temperature=args.temperature,
-        length_scale=args.length_scale,
-        use_align=args.use_align,
-    )
+    if args.batch_size > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                decoder=dataclasses.replace(cfg.model.decoder, masked_norm=True),
+            ),
+        )
+        paths = run_acoustic_inference_batched(
+            cfg, variables, dataset, args.save_dir,
+            batch_size=args.batch_size, n_timesteps=args.n_timesteps,
+            temperature=args.temperature,
+        )
+    else:
+        paths = run_acoustic_inference(
+            cfg,
+            variables,
+            dataset,
+            args.save_dir,
+            n_timesteps=args.n_timesteps,
+            temperature=args.temperature,
+            length_scale=args.length_scale,
+            use_align=args.use_align,
+        )
     logging.info("saved %d artifacts to %s", len(paths), args.save_dir)
 
 

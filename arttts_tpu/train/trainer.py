@@ -46,6 +46,8 @@ class Trainer:
         use_mesh: bool = False,
         log_dir: Optional[str] = None,
         tb_writer=None,
+        host_id: int = 0,
+        num_hosts: int = 1,
     ):
         self.config = config
         self.model = GradTTSModel(config=config.model)
@@ -67,6 +69,8 @@ class Trainer:
             batch_size=t.batch_size,
             seed=t.random_seed,
             min_frames=t.out_size,
+            host_id=host_id,
+            num_hosts=num_hosts,
         )
         self.valid_loader = (
             DataLoader(
