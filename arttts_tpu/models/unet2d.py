@@ -60,11 +60,15 @@ class MaskedGroupNorm(nn.Module):
     def __call__(self, x, mask):
         B, H, W, C = x.shape
         G = self.num_groups
-        xg = x.reshape(B, H, W, G, C // G)
-        m = jnp.broadcast_to(mask[..., None], xg.shape)
-        count = jnp.sum(m, axis=(1, 2, 4), keepdims=True) # valid elems/group
-        mean = jnp.sum(xg * m, axis=(1, 2, 4), keepdims=True) / count
-        var = jnp.sum(((xg - mean) * m) ** 2, axis=(1, 2, 4), keepdims=True) / count
+        Cg = C // G
+        xg = x.reshape(B, H, W, G, Cg)
+        mg = mask[..., None]  # (B, 1, T, 1, 1), broadcasts in the fusion
+        # single-pass masked statistics: E[x], E[x^2] over valid positions
+        count = jnp.sum(mask, axis=(1, 2, 3)).reshape(B, 1, 1, 1, 1) * (H * Cg)
+        s1 = jnp.sum(xg * mg, axis=(1, 2, 4), keepdims=True)
+        s2 = jnp.sum(jnp.square(xg) * mg, axis=(1, 2, 4), keepdims=True)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         x = xg.reshape(B, H, W, C)
         scale = self.param("scale", nn.initializers.ones, (C,))
