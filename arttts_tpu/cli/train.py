@@ -17,7 +17,6 @@ import logging
 
 
 def build_dataset(cfg, args, filelist):
-    from arttts_tpu.audio.mel import MelConfig
     from arttts_tpu.data import datasets as D
 
     kind = cfg.data.dataset

@@ -15,7 +15,7 @@ out_size = fix_len_compatibility(2 * frame_rate).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from arttts_tpu.ops.shape import fix_len_compatibility
 

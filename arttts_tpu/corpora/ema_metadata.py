@@ -14,7 +14,7 @@ import dataclasses
 import json
 import pickle
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 from scipy.signal import resample_poly

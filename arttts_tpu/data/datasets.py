@@ -17,7 +17,6 @@ mels in every DataLoader worker epoch (`data_textmel.py:71-93`).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict, List, Optional
 

@@ -18,7 +18,7 @@ interchangeable.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,8 +53,6 @@ def run_acoustic_inference_batched(
     padding-exact outputs (the reference cannot batch at all —
     `arttts_inference.py:227-231`). Writes the same (29|161, T) artifacts.
     """
-    import math as _math
-
     model = GradTTSModel(config=config.model)
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)

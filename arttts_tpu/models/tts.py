@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from arttts_tpu.core.config import ModelConfig
 from arttts_tpu.models.encoder import Encoder
-from arttts_tpu.models.unet2d import GradLogPEstimator2d, mish
+from arttts_tpu.models.unet2d import GradLogPEstimator2d
 
 
 class SpeakerEncodingLayer(nn.Module):

@@ -26,7 +26,6 @@ from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)

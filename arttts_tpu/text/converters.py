@@ -19,7 +19,6 @@ from arttts_tpu.text.cmudict import CMUDict
 from arttts_tpu.text.ipa_features import (
     N_TRAITS,
     segment_features,
-    validate_segment,
     word_features,
 )
 from arttts_tpu.text.symbols import PUNCTUATION

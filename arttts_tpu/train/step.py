@@ -11,7 +11,6 @@ over the mesh's "data" axis; GSPMD inserts the gradient all-reduces over ICI
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax
