@@ -145,7 +145,11 @@ class BucketBatcher:
 
 
 class DataLoader:
-    """Minimal host loader: dataset + BucketBatcher + pad_batch."""
+    """Minimal host loader: dataset + BucketBatcher + pad_batch.
+
+    `prefetch > 0` assembles upcoming batches on a background thread (a
+    bounded queue) so host-side featurization overlaps device steps — the
+    TPU equivalent of the reference's DataLoader worker processes."""
 
     def __init__(
         self,
@@ -157,6 +161,7 @@ class DataLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         length_grouped: bool = True,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         lengths = dataset.lengths() if length_grouped else np.zeros(len(dataset))
@@ -169,14 +174,45 @@ class DataLoader:
             num_hosts=num_hosts,
         )
         self.min_frames = min_frames
+        self.prefetch = prefetch
 
     def set_epoch(self, epoch: int):
         self.batcher.set_epoch(epoch)
 
+    def _make_batch(self, idx):
+        items = [self.dataset[int(i)] for i in idx]
+        return pad_batch(items, min_frames=self.min_frames)
+
     def __iter__(self):
-        for idx in self.batcher:
-            items = [self.dataset[int(i)] for i in idx]
-            yield pad_batch(items, min_frames=self.min_frames)
+        if self.prefetch <= 0:
+            for idx in self.batcher:
+                yield self._make_batch(idx)
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for idx in self.batcher:
+                    q.put(self._make_batch(idx))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def __len__(self):
         return len(self.batcher)
