@@ -189,6 +189,10 @@ class GradLogPEstimator2d(nn.Module):
     @nn.compact
     def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
         """x, mu: (B, T, n_feats); mask: (B, T, 1); t: (B,). Returns (B, T, n_feats)."""
+        assert x.shape[1] % 2 ** (len(self.dim_mults) - 1) == 0, (
+            f"frame axis {x.shape[1]} must be divisible by "
+            f"{2 ** (len(self.dim_mults) - 1)} (use fix_len_compatibility)"
+        )
         t_emb = SinusoidalPosEmb(self.dim)(t, scale=self.pe_scale)
         t_emb = nn.Dense(self.dim * 4)(t_emb)
         t_emb = nn.Dense(self.dim)(mish(t_emb))

@@ -98,6 +98,9 @@ class Trainer:
         item = dataset[0]
         x = np.asarray(item["x"])[None]
         y = np.asarray(item["y"])[None].astype(np.float32)
+        # U-Net needs the frame axis divisible by 2^num_downsamplings
+        T_pad = fix_len_compatibility(y.shape[1])
+        y = np.pad(y, ((0, 0), (0, T_pad - y.shape[1]), (0, 0)))
         key, self.rng = jax.random.split(self.rng)
         variables = jax.jit(self.model.init)(
             {"params": key, "dropout": key},
