@@ -82,6 +82,7 @@ def grad_tts_loss(
     y,
     y_lengths,
     spk=None,
+    durations=None,  # unused; uniform signature with grad_ttartic_loss
     out_size: Optional[int] = None,
     train: bool = True,
 ):
@@ -156,8 +157,8 @@ def grad_ttartic_loss(
     x_lengths,
     y,
     y_lengths,
-    spk_ft,
-    durations,
+    spk=None,
+    durations=None,
     out_size: Optional[int] = None,
     train: bool = True,
 ):
@@ -170,11 +171,12 @@ def grad_ttartic_loss(
     n_feats = model.config.n_feats
     dec = model.config.decoder
 
+    assert durations is not None, "grad_ttartic_loss needs aligned durations"
     mu_x, _, x_mask = model.apply(
         variables,
         x,
         x_lengths,
-        spk_ft,
+        spk,
         deterministic=not train,
         method="encode",
         rngs={"dropout": rng_drop} if train else {},
@@ -196,7 +198,7 @@ def grad_ttartic_loss(
         rng_z, y_seg, y_seg_mask, mu_y, t, dec.beta_min, dec.beta_max
     )
     noise_est = model.apply(
-        variables, xt, y_seg_mask, mu_y, t, spk_ft, method="estimate_noise"
+        variables, xt, y_seg_mask, mu_y, t, spk, method="estimate_noise"
     )
     diff = diffusion_loss_from_estimate(
         noise_est, z, y_seg_mask, t, n_feats, dec.beta_min, dec.beta_max
@@ -204,3 +206,8 @@ def grad_ttartic_loss(
     prior = prior_loss_fn(y_seg, mu_y, y_seg_mask, n_feats)
     total = prior + diff
     return total, {"prior_loss": prior, "diff_loss": diff}
+
+
+def loss_for_model(name: str):
+    """Loss callable for a model family (uniform signature)."""
+    return grad_ttartic_loss if name == "grad_ttartic" else grad_tts_loss

@@ -101,6 +101,7 @@ def make_train_step(
                 batch["y"],
                 batch["y_lengths"],
                 spk=batch.get("spk"),
+                durations=batch.get("durations"),
                 out_size=out_size,
                 train=True,
             )
@@ -140,6 +141,7 @@ def make_eval_step(model, loss_fn: Callable = grad_tts_loss, mesh=None):
             batch["y"],
             batch["y_lengths"],
             spk=batch.get("spk"),
+            durations=batch.get("durations"),
             out_size=None,
             train=False,
         )

@@ -29,7 +29,7 @@ from arttts_tpu.infer.sampler import synthesize
 from arttts_tpu.models.tts import GradTTSModel
 from arttts_tpu.ops.shape import fix_len_compatibility
 from arttts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from arttts_tpu.train.losses import grad_tts_loss
+from arttts_tpu.train.losses import loss_for_model
 from arttts_tpu.train.step import create_train_state, make_eval_step, make_train_step
 from arttts_tpu.utils.early_stopping import EarlyStopping
 
@@ -86,10 +86,11 @@ class Trainer:
 
         self.rng = jax.random.PRNGKey(t.random_seed)
         self._build_state(train_dataset)
+        loss_fn = loss_for_model(config.model.name)
         self.train_step = make_train_step(
-            self.model, out_size=t.out_size, loss_fn=grad_tts_loss, mesh=self.mesh
+            self.model, out_size=t.out_size, loss_fn=loss_fn, mesh=self.mesh
         )
-        self.eval_step = make_eval_step(self.model, loss_fn=grad_tts_loss, mesh=None)
+        self.eval_step = make_eval_step(self.model, loss_fn=loss_fn, mesh=None)
         self.early_stopping = EarlyStopping(patience=t.patience, step_size=t.save_every)
         self.start_epoch = 1
 
@@ -102,6 +103,9 @@ class Trainer:
         T_pad = fix_len_compatibility(y.shape[1])
         y = np.pad(y, ((0, 0), (0, T_pad - y.shape[1]), (0, 0)))
         key, self.rng = jax.random.split(self.rng)
+        spk = (
+            jnp.asarray(np.asarray(item["spk"])[None]) if "spk" in item else None
+        )
         variables = jax.jit(self.model.init)(
             {"params": key, "dropout": key},
             jnp.asarray(x),
@@ -109,6 +113,7 @@ class Trainer:
             jnp.asarray(y),
             jnp.ones((1, y.shape[1], 1)),
             jnp.zeros((1,)),
+            spk,
         )
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
         log.info("Total parameters: %.2fm", n_params / 1e6)
@@ -189,6 +194,14 @@ class Trainer:
 
         for i, item in enumerate(items):
             x = np.asarray(item["x"])[None]
+            spk = (
+                jnp.asarray(np.asarray(item["spk"])[None]) if "spk" in item else None
+            )
+            durations = (
+                jnp.asarray(np.ceil(item["durations"])[None])
+                if self.config.model.name == "grad_ttartic" and "durations" in item
+                else None
+            )
             key, self.rng = jax.random.split(self.rng)
             # bucketed static shape: one jit cache entry per bucket
             max_frames = frame_bucket(
@@ -202,6 +215,8 @@ class Trainer:
                 jnp.array([x.shape[1]], jnp.int32),
                 n_timesteps=n_timesteps,
                 max_frames=int(max_frames),
+                spk=spk,
+                x_durations=durations,
             )
             L = int(np.asarray(y_len)[0])
             self.tb.add_image(
