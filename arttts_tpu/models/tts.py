@@ -53,7 +53,10 @@ class GradTTSModel(nn.Module):
             spk_emb_dim=c.spk_emb_dim,
         )
         d = c.decoder
-        if d.kind == "unet2d":
+        if d.kind in ("unet2d", "unet1d_preblock"):
+            # NOTE: the reference's Diffusion1DPreblock keeps the *2D* conv
+            # U-Net body and only prepends a (1,9)+channel-attention PreBlock
+            # (diffusion_1D_preblock.py:85-99,255-257).
             self.estimator = GradLogPEstimator2d(
                 dim=d.dim,
                 dim_mults=d.dim_mults,
@@ -63,8 +66,10 @@ class GradTTSModel(nn.Module):
                 n_feats=c.n_feats,
                 pe_scale=d.pe_scale,
                 masked_norm=d.masked_norm,
+                use_preblock=(d.kind == "unet1d_preblock"),
+                preblock_kernel=d.preblock_kernel,
             )
-        elif d.kind in ("unet1d", "unet1d_preblock"):
+        elif d.kind == "unet1d":
             from arttts_tpu.models.unet1d import GradLogPEstimator1d
 
             self.estimator = GradLogPEstimator1d(
@@ -75,8 +80,6 @@ class GradTTSModel(nn.Module):
                 spk_emb_dim=c.spk_emb_dim,
                 n_feats=c.n_feats,
                 pe_scale=d.pe_scale,
-                use_preblock=(d.kind == "unet1d_preblock"),
-                preblock_kernel=d.preblock_kernel,
                 masked_norm=d.masked_norm,
             )
         else:

@@ -118,8 +118,6 @@ class GradLogPEstimator1d(nn.Module):
     spk_emb_dim: int = 64
     n_feats: int = 16
     pe_scale: int = 1000
-    use_preblock: bool = False
-    preblock_kernel: int = 9
     masked_norm: bool = False
 
     @nn.compact
@@ -137,9 +135,6 @@ class GradLogPEstimator1d(nn.Module):
             planes.append(jnp.broadcast_to(s[:, :, None], planes[0].shape))
         h = jnp.stack(planes, axis=-1)  # (B, F, T, 2 or 3)
         mask_img = mask[:, None, :, :]
-
-        if self.use_preblock:
-            h = PreBlock(h.shape[-1], self.preblock_kernel)(h, mask_img)
 
         dims = [h.shape[-1]] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))

@@ -185,6 +185,8 @@ class GradLogPEstimator2d(nn.Module):
     n_feats: int = 80
     pe_scale: int = 1000
     masked_norm: bool = False
+    use_preblock: bool = False  # Diffusion1DPreblock: wide (1,9) conv +
+    preblock_kernel: int = 9    # channel attention before the downs
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
@@ -206,6 +208,11 @@ class GradLogPEstimator2d(nn.Module):
             planes.append(jnp.broadcast_to(s[:, :, None], planes[0].shape))
         h = jnp.stack(planes, axis=-1)  # (B, F, T, 2 or 3)
         mask_img = mask[:, None, :, :]  # (B, 1, T, 1)
+
+        if self.use_preblock:
+            from arttts_tpu.models.unet1d import PreBlock
+
+            h = PreBlock(h.shape[-1], self.preblock_kernel)(h, mask_img)
 
         dims = [h.shape[-1]] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))

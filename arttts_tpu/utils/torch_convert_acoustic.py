@@ -202,14 +202,122 @@ def convert_estimator2d(sd: Dict, prefix: str = "decoder.estimator.",
     return est
 
 
+def _conv1x3_2d(sd, key, use_bias=True):
+    """torch Conv2d (out, in, 1, 3) -> flax Conv kernel (1, 3, in, out)."""
+    out = {"kernel": np.transpose(_np(sd[f"{key}.weight"]), (2, 3, 1, 0))}
+    if use_bias and f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _art_attention(sd, key):
+    """ArtChannelsAttention (diffusion_1D.py:105-152): (1,3) qkv conv +
+    1x1 out conv (-> Dense)."""
+    return {
+        "Conv_0": _conv1x3_2d(sd, f"{key}.to_qkv", use_bias=False),
+        "Conv_1": _dense_from_conv1x1_2d(sd, f"{key}.to_out"),
+    }
+
+
+def _block1d(sd, key):
+    return {
+        "Conv_0": _conv1x3_2d(sd, f"{key}.block.0"),
+        "ArtChannelsAttention_0": _art_attention(sd, f"{key}.block.1"),
+        "GroupNorm_0": _groupnorm(sd, f"{key}.block.2"),
+    }
+
+
+def _resnet_block1d(sd, key):
+    out = {
+        "Block1d_0": _block1d(sd, f"{key}.block1"),
+        "Block1d_1": _block1d(sd, f"{key}.block2"),
+        "Dense_0": _dense_from_linear(sd, f"{key}.mlp.1"),
+    }
+    if f"{key}.res_conv.weight" in sd:
+        out["Conv_0"] = _dense_from_conv1x1_2d(sd, f"{key}.res_conv")
+    return out
+
+
+def convert_estimator1d(sd: Dict, prefix: str = "decoder.estimator.",
+                        num_resolutions: int = 3) -> Dict:
+    """Diffusion1D / Diffusion1DPreblock estimator state dict -> flax
+    `estimator` subtree (GradLogPEstimator1d)."""
+    p = prefix
+    est: Dict = {
+        "Dense_0": _dense_from_linear(sd, f"{p}mlp.0"),
+        "Dense_1": _dense_from_linear(sd, f"{p}mlp.2"),
+    }
+
+    res_idx = 0
+    attn_idx = 0
+
+    def add_attn(torch_key):
+        nonlocal attn_idx
+        est[f"LinearAttention2d_{attn_idx}"] = _linear_attention(
+            sd, f"{torch_key}.fn.fn"
+        )
+        est[f"Rezero_{attn_idx}"] = {"g": _np(sd[f"{torch_key}.fn.g"])}
+        attn_idx += 1
+
+    for level in range(num_resolutions):
+        for j in (0, 1):
+            est[f"ResnetBlock1d_{res_idx}"] = _resnet_block1d(
+                sd, f"{p}downs.{level}.{j}"
+            )
+            res_idx += 1
+        add_attn(f"{p}downs.{level}.2")
+        if level < num_resolutions - 1:
+            est[f"Downsample2d_{level}"] = {
+                "Conv_0": _conv2d(sd, f"{p}downs.{level}.3.conv")
+            }
+
+    est[f"ResnetBlock1d_{res_idx}"] = _resnet_block1d(sd, f"{p}mid_block1")
+    res_idx += 1
+    add_attn(f"{p}mid_attn")
+    est[f"ResnetBlock1d_{res_idx}"] = _resnet_block1d(sd, f"{p}mid_block2")
+    res_idx += 1
+
+    for up in range(num_resolutions - 1):
+        for j in (0, 1):
+            est[f"ResnetBlock1d_{res_idx}"] = _resnet_block1d(sd, f"{p}ups.{up}.{j}")
+            res_idx += 1
+        add_attn(f"{p}ups.{up}.2")
+        est[f"ConvTranspose2dTorch_{up}"] = {
+            "weight": _np(sd[f"{p}ups.{up}.3.conv.weight"]),
+            "bias": _np(sd[f"{p}ups.{up}.3.conv.bias"]),
+        }
+
+    est["Block1d_0"] = _block1d(sd, f"{p}final_block")
+    est["Conv_0"] = _dense_from_conv1x1_2d(sd, f"{p}final_conv")
+    return est
+
+
 def convert_grad_tts(state_dict: Dict, n_enc_layers: int = 6,
-                     has_embedding: bool = None) -> Dict:
-    """Full ArtTTS/GradTTS (n_spks == 1, 2D decoder) state dict -> params
+                     has_embedding: bool = None,
+                     decoder_kind: str = "unet2d") -> Dict:
+    """Full ArtTTS/GradTTS/AttentionTTS (n_spks == 1) state dict -> params
     for `GradTTSModel`."""
     sd = {k: _np(v) for k, v in state_dict.items()}
     if has_embedding is None:
         has_embedding = "encoder.emb.weight" in sd
+    if decoder_kind == "unet1d":
+        est = convert_estimator1d(sd, "decoder.estimator.")
+    else:
+        est = convert_estimator2d(sd, "decoder.estimator.")
+        if "decoder.estimator.preblock.block.0.weight" in sd:
+            est["PreBlock_0"] = {
+                "Conv_0": {
+                    "kernel": np.transpose(
+                        _np(sd["decoder.estimator.preblock.block.0.weight"]),
+                        (2, 3, 1, 0),
+                    ),
+                    "bias": _np(sd["decoder.estimator.preblock.block.0.bias"]),
+                },
+                "ArtChannelsAttention_0": _art_attention(
+                    sd, "decoder.estimator.preblock.block.1"
+                ),
+            }
     return {
         "encoder": convert_encoder(sd, "encoder.", n_enc_layers, has_embedding),
-        "estimator": convert_estimator2d(sd, "decoder.estimator."),
+        "estimator": est,
     }
