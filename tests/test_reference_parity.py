@@ -257,3 +257,86 @@ def test_preblock_estimator_parity(ref_gradtts, rng):
     np.testing.assert_allclose(
         np.asarray(out_j), out_t.permute(0, 2, 1).numpy(), atol=1e-3, rtol=1e-3
     )
+
+
+def test_training_loss_parity(ref_gradtts, converted, rng):
+    """compute_loss parity: pin the reference's RNG draws (t, z, segment
+    offset) and rebuild the identical loss from our pure functions —
+    dur/prior/diff must match."""
+    import jax.numpy as jnp
+
+    torch, m = ref_gradtts
+    model, variables = converted
+
+    from arttts_tpu.models.diffusion_sde import (
+        diffusion_loss_from_estimate, get_noise,
+    )
+    from arttts_tpu.ops.mas import maximum_path
+    from arttts_tpu.ops.shape import duration_loss, sequence_mask
+    from arttts_tpu.train.losses import mas_log_prior, prior_loss_fn
+
+    B, T_x, T_y, F = 2, 12, 48, 80
+    out_size = 32
+    x = rng.integers(1, 149, size=(B, T_x)).astype(np.int64)
+    xl = np.array([T_x, 9], dtype=np.int64)
+    x[1, 9:] = 0
+    y = rng.standard_normal((B, T_y, F)).astype(np.float32)
+    yl = np.array([T_y, 40], dtype=np.int64)
+    y[1, 40:] = 0
+    t_fixed = np.array([0.37, 0.81], dtype=np.float32)
+    z_fixed = rng.standard_normal((B, F, out_size)).astype(np.float32)
+
+    # --- reference with pinned RNG ------------------------------------
+    import random as _pyrandom
+
+    orig_rand, orig_randn, orig_choice = torch.rand, torch.randn, _pyrandom.choice
+    try:
+        torch.rand = lambda *a, **k: torch.from_numpy(t_fixed.copy())
+        torch.randn = lambda *a, **k: torch.from_numpy(z_fixed.copy())
+        _pyrandom.choice = lambda seq: 0  # segment offset 0
+        with torch.no_grad():
+            dur_t, prior_t, diff_t = m.compute_loss(
+                torch.from_numpy(x), torch.from_numpy(xl),
+                torch.from_numpy(np.transpose(y, (0, 2, 1))),
+                torch.from_numpy(yl), out_size=out_size,
+            )
+    finally:
+        torch.rand, torch.randn, _pyrandom.choice = orig_rand, orig_randn, orig_choice
+
+    # --- ours, same pinned values -------------------------------------
+    import jax
+
+    mu_x, logw, x_mask = model.apply(
+        variables, jnp.asarray(x), jnp.asarray(xl), method="encode"
+    )
+    y_j = jnp.asarray(y)
+    y_mask = sequence_mask(jnp.asarray(yl), T_y).astype(jnp.float32)[:, :, None]
+    log_prior, attn_mask = mas_log_prior(mu_x, y_j, x_mask, y_mask)
+    attn = maximum_path(log_prior, attn_mask)
+    logw_hat = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[:, :, None] * x_mask
+    dur_j = duration_loss(logw, logw_hat, jnp.asarray(xl.astype(np.float32)))
+
+    # offset-0 segment cut
+    y_seg = y_j[:, :out_size]
+    attn_seg = attn[:, :, :out_size]
+    seg_len = jnp.minimum(jnp.asarray(yl), out_size)
+    y_seg_mask = sequence_mask(seg_len, out_size).astype(jnp.float32)[:, :, None]
+    mu_y = jnp.einsum("bij,bic->bjc", attn_seg, mu_x)
+
+    dec = model.config.decoder
+    t_j = jnp.asarray(t_fixed)
+    cum = get_noise(t_j[:, None, None], dec.beta_min, dec.beta_max, cumulative=True)
+    z_j = jnp.asarray(np.transpose(z_fixed, (0, 2, 1)))
+    mean = y_seg * jnp.exp(-0.5 * cum) + mu_y * (1 - jnp.exp(-0.5 * cum))
+    xt = (mean + z_j * jnp.sqrt(1 - jnp.exp(-cum))) * y_seg_mask
+    noise_est = model.apply(
+        variables, xt, y_seg_mask, mu_y, t_j, method="estimate_noise"
+    )
+    diff_j = diffusion_loss_from_estimate(
+        noise_est, z_j * y_seg_mask, y_seg_mask, t_j, F, dec.beta_min, dec.beta_max
+    )
+    prior_j = prior_loss_fn(y_seg * y_seg_mask, mu_y, y_seg_mask, F)
+
+    np.testing.assert_allclose(float(dur_j), float(dur_t), rtol=2e-4)
+    np.testing.assert_allclose(float(prior_j), float(prior_t), rtol=2e-4)
+    np.testing.assert_allclose(float(diff_j), float(diff_t), rtol=2e-3)
