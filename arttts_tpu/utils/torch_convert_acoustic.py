@@ -139,13 +139,14 @@ def convert_encoder(sd: Dict, prefix: str = "encoder.", n_layers: int = 6,
     enc["TransformerEncoder_0"] = trans
 
     enc["proj_m"] = _conv1d(sd, f"{p}proj_m")
-    enc["proj_w"] = {
-        "Conv_0": _conv1d(sd, f"{p}proj_w.conv_1"),
-        "ChannelLayerNorm_0": _channel_ln(sd, f"{p}proj_w.norm_1"),
-        "Conv_1": _conv1d(sd, f"{p}proj_w.conv_2"),
-        "ChannelLayerNorm_1": _channel_ln(sd, f"{p}proj_w.norm_2"),
-        "Conv_2": _conv1d(sd, f"{p}proj_w.proj"),
-    }
+    if f"{p}proj_w.conv_1.weight" in sd:
+        enc["proj_w"] = {
+            "Conv_0": _conv1d(sd, f"{p}proj_w.conv_1"),
+            "ChannelLayerNorm_0": _channel_ln(sd, f"{p}proj_w.norm_1"),
+            "Conv_1": _conv1d(sd, f"{p}proj_w.conv_2"),
+            "ChannelLayerNorm_1": _channel_ln(sd, f"{p}proj_w.norm_2"),
+            "Conv_2": _conv1d(sd, f"{p}proj_w.proj"),
+        }
     return enc
 
 
@@ -320,4 +321,52 @@ def convert_grad_tts(state_dict: Dict, n_enc_layers: int = 6,
     return {
         "encoder": convert_encoder(sd, "encoder.", n_enc_layers, has_embedding),
         "estimator": est,
+    }
+
+
+def convert_grad_ttartic(state_dict: Dict, n_enc_layers: int = 6,
+                         filter_channels_dp: int = 256) -> Dict:
+    """Multi-speaker `GradTTArtic` state dict (model_ms/tts.py:25-95) ->
+    params for `GradTTSModel(name="grad_ttartic")`.
+
+    Differences vs the single-speaker converter: a SpeakerEncodingLayer
+    subtree, an always-on speaker MLP in the estimator (Dense_2/Dense_3
+    after the time MLP), and NO duration predictor in the reference — the
+    unified model still owns `proj_w` params, so zero-filled placeholders
+    are synthesized (the aligned-input loss/sampler never uses them).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    enc = convert_encoder(sd, "encoder.", n_enc_layers, has_embedding=False)
+
+    # the ms encoder has no proj_w (phnm_encoder.py:326-391); synthesize zeros
+    width = sd["encoder.proj_m.weight"].shape[1]
+    dp = filter_channels_dp
+    zeros = np.zeros
+    enc["proj_w"] = {
+        "Conv_0": {"kernel": zeros((3, width, dp), np.float32),
+                   "bias": zeros((dp,), np.float32)},
+        "ChannelLayerNorm_0": {"LayerNorm_0": {
+            "scale": np.ones((dp,), np.float32), "bias": zeros((dp,), np.float32)}},
+        "Conv_1": {"kernel": zeros((3, dp, dp), np.float32),
+                   "bias": zeros((dp,), np.float32)},
+        "ChannelLayerNorm_1": {"LayerNorm_0": {
+            "scale": np.ones((dp,), np.float32), "bias": zeros((dp,), np.float32)}},
+        "Conv_2": {"kernel": zeros((1, dp, 1), np.float32),
+                   "bias": zeros((1,), np.float32)},
+    }
+
+    est = convert_estimator2d(sd, "decoder.estimator.")
+    # speaker MLP (diffusion.py ms variant: spk_mlp.0 / spk_mlp.2)
+    est["Dense_2"] = _dense_from_linear(sd, "decoder.estimator.spk_mlp.0")
+    est["Dense_3"] = _dense_from_linear(sd, "decoder.estimator.spk_mlp.2")
+
+    return {
+        "encoder": enc,
+        "estimator": est,
+        "spk_encoder": {
+            "Dense_0": {"kernel": sd["spk_enc.spk_fc.0.weight"].T,
+                        "bias": sd["spk_enc.spk_fc.0.bias"]},
+            "Dense_1": {"kernel": sd["spk_enc.spk_fc.3.weight"].T,
+                        "bias": sd["spk_enc.spk_fc.3.bias"]},
+        },
     }

@@ -340,3 +340,59 @@ def test_training_loss_parity(ref_gradtts, converted, rng):
     np.testing.assert_allclose(float(dur_j), float(dur_t), rtol=2e-4)
     np.testing.assert_allclose(float(prior_j), float(prior_t), rtol=2e-4)
     np.testing.assert_allclose(float(diff_j), float(diff_t), rtol=2e-3)
+
+
+def test_grad_ttartic_full_parity(ref_gradtts, rng):
+    """Multi-speaker GradTTArtic full inference parity: aligned durations in
+    input channel 26, SSL speaker pre-embedding path, always-on spk U-Net
+    channel."""
+    import jax
+    import jax.numpy as jnp
+
+    torch, _ = ref_gradtts  # path + MAS stub
+    from model_ms.tts import GradTTArtic
+
+    from arttts_tpu.core.config import get_preset
+    from arttts_tpu.infer.sampler import synthesize
+    from arttts_tpu.models.tts import GradTTSModel
+    from arttts_tpu.utils.torch_convert_acoustic import convert_grad_ttartic
+
+    torch.manual_seed(3)
+    m = GradTTArtic(
+        26, 64, 192, 768, 256, 1, 6, 3, 0.1, 4, 16, 64, 0.05, 20.0, 1000
+    )
+    m.eval()
+    params = convert_grad_ttartic(m.state_dict())
+    model = GradTTSModel(config=get_preset("v6").model)
+    variables = {"params": params}
+
+    T_x = 6
+    x = rng.integers(-1, 2, size=(1, T_x, 26)).astype(np.float32)
+    counts = np.array([4, 8, 4, 8, 4, 4], np.float32)
+    x[0, :, 25] = counts  # channel 26: repetition counts (sum 32, mult of 4)
+    xl = np.array([T_x], dtype=np.int64)
+    spk_ft = rng.standard_normal((1, 1024)).astype(np.float32)
+
+    with torch.no_grad():
+        enc_t, dec_t, attn_t = m(
+            torch.from_numpy(x).permute(0, 2, 1), torch.from_numpy(xl),
+            torch.from_numpy(spk_ft), n_timesteps=3, temperature=1e6, stoc=False,
+        )
+    y_max = dec_t.shape[-1]
+    enc_j, dec_j, attn_j, y_len = synthesize(
+        model, variables, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(xl),
+        n_timesteps=3, max_frames=32, temperature=1e6,
+        spk=jnp.asarray(spk_ft), x_durations=jnp.asarray(counts[None]),
+    )
+    assert int(np.asarray(y_len)[0]) == y_max == 32
+    np.testing.assert_allclose(
+        np.asarray(enc_j)[:, :y_max], enc_t.permute(0, 2, 1).numpy(),
+        atol=1e-2, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_j)[:, :y_max], dec_t.permute(0, 2, 1).numpy(),
+        atol=2e-2, rtol=2e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(attn_j)[:, :, :y_max], attn_t[:, 0].numpy()
+    )
