@@ -396,3 +396,48 @@ def test_grad_ttartic_full_parity(ref_gradtts, rng):
     np.testing.assert_array_equal(
         np.asarray(attn_j)[:, :, :y_max], attn_t[:, 0].numpy()
     )
+
+
+def test_arttts_v1_full_parity(ref_gradtts, rng):
+    """ArtTTS (v1): trait encoder + 2D U-Net at n_feats=16, pinned durations."""
+    import jax
+    import jax.numpy as jnp
+
+    torch, _ = ref_gradtts
+    from model.tts import ArtTTS
+
+    from arttts_tpu.core.config import get_preset
+    from arttts_tpu.infer.sampler import synthesize
+    from arttts_tpu.models.tts import GradTTSModel
+    from arttts_tpu.utils.torch_convert_acoustic import convert_grad_tts
+
+    torch.manual_seed(4)
+    m = ArtTTS(
+        25, 1, None, 192, 768, 256, 1, 6, 3, 0.1, 4, 16, 64, 0.05, 20.0, 1000
+    )
+    m.eval()
+    params = convert_grad_tts(m.state_dict())
+    model = GradTTSModel(config=get_preset("v1").model)
+    variables = {"params": params}
+
+    T_x = 7
+    x = rng.integers(-1, 2, size=(1, T_x, 25)).astype(np.float32)
+    xl = np.array([T_x], dtype=np.int64)
+    dur = np.full((1, T_x), 4.0, np.float32)  # 28 frames (mult of 4)
+    with torch.no_grad():
+        enc_t, dec_t, attn_t = m(
+            torch.from_numpy(x).permute(0, 2, 1), torch.from_numpy(xl),
+            n_timesteps=3, temperature=1e6, stoc=False,
+            x_durations=torch.from_numpy(dur),
+        )
+    enc_j, dec_j, attn_j, y_len = synthesize(
+        model, variables, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(xl),
+        n_timesteps=3, max_frames=28, temperature=1e6,
+        x_durations=jnp.asarray(dur),
+    )
+    y_max = dec_t.shape[-1]
+    assert int(np.asarray(y_len)[0]) == y_max == 28
+    np.testing.assert_allclose(
+        np.asarray(dec_j)[:, :y_max], dec_t.permute(0, 2, 1).numpy(),
+        atol=2e-2, rtol=2e-3,
+    )
