@@ -135,20 +135,24 @@ class LinearAttention2d(nn.Module):
         hd = self.heads * self.dim_head
         # 1x1 convs lower to spatially-partitioned TPU convolutions with
         # large layout copies; a Dense over the channel axis is the same
-        # math as one clean matmul.
+        # math as one clean matmul. All ops below stay in the native
+        # (B, H, W, channels) layout — no spatial flattening reshapes (TPU
+        # tiled layouts turn those into real copies).
         qkv = nn.Dense(hd * 3, use_bias=False, name="Conv_0")(x)
-        qkv = qkv.reshape(B, H * W, 3, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h*d)
-        # softmax over spatial positions, per (head, dim) column
-        k = nn.softmax(k.reshape(B, H * W, self.heads, self.dim_head), axis=1)
-        k = k.reshape(B, H * W, hd)
+        q = qkv[..., :hd]
+        k = qkv[..., hd : 2 * hd]
+        v = qkv[..., 2 * hd :]
+        # softmax over all spatial positions, independently per channel —
+        # identical to the per-(head, dim) softmax of the flattened form
+        k = k - jnp.max(k, axis=(1, 2), keepdims=True)
+        k = jnp.exp(k)
+        k = k / jnp.sum(k, axis=(1, 2), keepdims=True)
         # full-width context (B, h*d, h*d); only diagonal head blocks are real
-        context = jnp.einsum("bnd,bne->bde", k, v)
+        context = jnp.einsum("bhwd,bhwe->bde", k, v)
         blk = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // self.dim_head
         blk_t = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // self.dim_head
         context = jnp.where(blk == blk_t, context, 0.0)
-        out = jnp.einsum("bde,bnd->bne", context, q)  # (B, N, h*d)
-        out = out.reshape(B, H, W, hd)
+        out = jnp.einsum("bde,bhwd->bhwe", context, q)  # (B, H, W, h*d)
         return nn.Dense(C, name="Conv_1")(out)
 
 
