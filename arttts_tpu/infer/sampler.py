@@ -109,6 +109,45 @@ def synthesize(
     return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "vocoder", "n_timesteps", "max_frames", "stoc"),
+)
+def synthesize_to_wav(
+    model,
+    variables,
+    vocoder,
+    vocoder_variables,
+    rng,
+    x,
+    x_lengths,
+    n_timesteps: int,
+    max_frames: int,
+    temperature: float = 1.0,
+    stoc: bool = False,
+    spk=None,
+    x_durations=None,
+):
+    """End-to-end text -> waveform in ONE jitted program (acoustic sampler +
+    vocoder). One device dispatch per utterance/batch — the full serving
+    path. Returns (wav (B, max_frames*hop, 1), y_lengths)."""
+    enc, dec, attn, y_lengths = synthesize(
+        model,
+        variables,
+        rng,
+        x,
+        x_lengths,
+        n_timesteps=n_timesteps,
+        max_frames=max_frames,
+        temperature=temperature,
+        stoc=stoc,
+        spk=spk,
+        x_durations=x_durations,
+    )
+    wav = vocoder.apply(vocoder_variables, dec)
+    return wav, y_lengths
+
+
 def predict_lengths(model, variables, x, x_lengths, spk=None):
     """Duration-only forward (tts.py:282-316): returns w = exp(logw) * mask."""
     _, logw, x_mask = model.apply(variables, x, x_lengths, spk, method="encode")

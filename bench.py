@@ -26,7 +26,7 @@ import numpy as np
 
 def main():
     from arttts_tpu.core.config import get_preset
-    from arttts_tpu.infer.sampler import synthesize
+    from arttts_tpu.infer.sampler import synthesize_to_wav
     from arttts_tpu.models.hifigan import HiFiGANGenerator
     from arttts_tpu.models.tts import GradTTSModel
 
@@ -60,20 +60,13 @@ def main():
     voc_vars = vocoder.init(
         jax.random.PRNGKey(1), jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
     )
-    voc_apply = jax.jit(lambda v, m: vocoder.apply(v, m))
 
     def run(k):
-        enc, dec, attn, y_len = synthesize(
-            model,
-            variables,
-            k,
-            x,
-            x_lengths,
-            n_timesteps=N_STEPS,
-            max_frames=MAX_FRAMES,
-            x_durations=durations,
+        # the full serving path is ONE jitted program (one device dispatch)
+        return synthesize_to_wav(
+            model, variables, vocoder, voc_vars, k, x, x_lengths,
+            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=durations,
         )
-        return voc_apply(voc_vars, dec), y_len
 
     base_key = jax.random.PRNGKey(1)
     out = run(base_key)

@@ -45,3 +45,32 @@ def test_predict_lengths_and_duration_override(rng):
     np.testing.assert_allclose(
         np.asarray(attn).sum(axis=2) * x_mask, np.asarray(durations) * x_mask
     )
+
+
+def test_synthesize_to_wav_single_program(rng):
+    """End-to-end text->wav in one jitted program."""
+    from arttts_tpu.infer.sampler import synthesize_to_wav
+    from arttts_tpu.models.hifigan import HiFiGANGenerator
+
+    cfg = tiny_config(kind="text", n_feats=80)
+    model = GradTTSModel(config=cfg)
+    x, x_lengths, y, _ = make_batch(rng, cfg, T_y=24)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        x, x_lengths, y, jnp.ones((y.shape[0], y.shape[1], 1)), jnp.zeros((2,)),
+    )
+    voc = HiFiGANGenerator(
+        upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((2, 32, 80)))
+    wav, y_len = synthesize_to_wav(
+        model, variables, voc, voc_vars, key, x, x_lengths,
+        n_timesteps=2, max_frames=32,
+    )
+    assert wav.shape == (2, 32 * 256, 1)
+    assert np.isfinite(np.asarray(wav)).all()
