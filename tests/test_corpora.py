@@ -83,3 +83,17 @@ def test_pb2007(tmp_path):
     np.arange(24, dtype=np.float32).tofile(ema_fp)
     ema = get_pb2007_ema(ema_fp)
     assert ema.shape == (2, 12)
+
+
+def test_corpus_layouts(tmp_path):
+    from arttts_tpu.corpora.configs import CORPUS_LAYOUTS, load_corpus_config
+
+    lay = CORPUS_LAYOUTS["mspka"]
+    assert lay.ema_sr == 400
+    assert str(lay.audio_dir("/d", "spk1")).endswith("spk1_1.0.0/wav_1.0.0")
+    assert lay.expand(lay.filestem, "spk1", "0042") == "spk1_0042"
+
+    yml = tmp_path / "c.yaml"
+    yml.write_text("audio_sr: 16000\nema_sr: 250\nfilestem: item_id#\n")
+    c = load_corpus_config(yml)
+    assert c.ema_sr == 250 and c.name == "c"
