@@ -77,6 +77,9 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int)
     parser.add_argument("--batch-size", type=int)
     parser.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
+    parser.add_argument("--language-upsample", type=float,
+                        help="temperature-based language upsampling factor "
+                             "(e.g. 0.5, multilingual v6/msml1h)")
     parser.add_argument("--resume", nargs="?", const="latest")
     args = parser.parse_args(argv)
 
@@ -110,7 +113,8 @@ def main(argv=None):
         else None
     )
     trainer = Trainer(cfg, train_ds, valid_dataset=valid_ds, use_mesh=args.mesh,
-                      log_dir=args.log_dir)
+                      log_dir=args.log_dir,
+                      language_upsample=args.language_upsample)
     if args.resume:
         trainer.resume(None if args.resume == "latest" else args.resume)
     trainer.fit(n_epochs=args.epochs)

@@ -162,7 +162,11 @@ class DataLoader:
         num_hosts: int = 1,
         length_grouped: bool = True,
         prefetch: int = 2,
+        language_upsample: Optional[float] = None,
     ):
+        """`language_upsample` enables temperature-based language upsampling
+        (p ~ size^factor) for multilingual datasets exposing `lang_sizes`
+        (ref train_v6.py:100-125, upsample_factor=0.5)."""
         self.dataset = dataset
         lengths = dataset.lengths() if length_grouped else np.zeros(len(dataset))
         self.batcher = BucketBatcher(
@@ -173,6 +177,25 @@ class DataLoader:
             host_id=host_id,
             num_hosts=num_hosts,
         )
+        self.lang_sampler = None
+        if language_upsample is not None:
+            from arttts_tpu.voxcommunis.sampler import (
+                LengthGroupedLanguageUpSampler,
+            )
+
+            assert getattr(dataset, "lang_sizes", None), (
+                "language_upsample needs a dataset with lang_sizes"
+            )
+            self.lang_sampler = LengthGroupedLanguageUpSampler(
+                batch_size,
+                lengths,
+                dataset.lang_sizes,
+                upsample_factor=language_upsample,
+                seed=seed,
+            )
+            self.batch_size = batch_size
+            self.host_id = host_id
+            self.num_hosts = num_hosts
         self.min_frames = min_frames
         self.prefetch = prefetch
 
@@ -183,9 +206,19 @@ class DataLoader:
         items = [self.dataset[int(i)] for i in idx]
         return pad_batch(items, min_frames=self.min_frames)
 
+    def _index_batches(self):
+        if self.lang_sampler is not None:
+            order = np.fromiter(iter(self.lang_sampler), dtype=np.int64)
+            batches = [
+                order[i : i + self.batch_size]
+                for i in range(0, len(order) - self.batch_size + 1, self.batch_size)
+            ]
+            return batches[self.host_id :: self.num_hosts]
+        return self.batcher
+
     def __iter__(self):
         if self.prefetch <= 0:
-            for idx in self.batcher:
+            for idx in self._index_batches():
                 yield self._make_batch(idx)
             return
 
@@ -197,7 +230,7 @@ class DataLoader:
 
         def producer():
             try:
-                for idx in self.batcher:
+                for idx in self._index_batches():
                     q.put(self._make_batch(idx))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)

@@ -48,6 +48,7 @@ class Trainer:
         tb_writer=None,
         host_id: int = 0,
         num_hosts: int = 1,
+        language_upsample=None,
     ):
         self.config = config
         self.model = GradTTSModel(config=config.model)
@@ -71,6 +72,7 @@ class Trainer:
             min_frames=t.out_size,
             host_id=host_id,
             num_hosts=num_hosts,
+            language_upsample=language_upsample,
         )
         self.valid_loader = (
             DataLoader(

@@ -149,3 +149,31 @@ def test_dataloader_end_to_end(corpus):
     for batch in batches:
         assert set(batch) >= {"x", "x_lengths", "y", "y_lengths"}
         assert batch["y"].shape[1] >= 104
+
+
+def test_dataloader_language_upsample():
+    """Multilingual loader with temperature-based language upsampling."""
+
+    class LangDS:
+        lang_sizes = [40, 8]
+
+        def __len__(self):
+            return 48
+
+        def lengths(self):
+            return np.arange(48) % 7 + 3
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                "x": r.integers(1, 9, size=(4,)).astype(np.int32),
+                "y": r.standard_normal((12, 4)).astype(np.float32),
+            }
+
+    from arttts_tpu.data.batching import DataLoader
+
+    dl = DataLoader(LangDS(), batch_size=4, language_upsample=0.5, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 12
+    for b in batches:
+        assert b["x"].shape[0] == 4
