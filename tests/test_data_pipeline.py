@@ -177,3 +177,31 @@ def test_dataloader_language_upsample():
     assert len(batches) == 12
     for b in batches:
         assert b["x"].shape[0] == 4
+
+
+def test_phnm_mel_dataset(corpus, tmp_path):
+    """v3 dataset: phnm3 traits + mel target + frame durations."""
+    from arttts_tpu.data.datasets import PhnmMelDataset
+
+    root, _ = corpus
+    phnm_dir = root / "phnm3_mel"
+    phnm_dir.mkdir(exist_ok=True)
+    lines = []
+    for i in range(2):
+        phones = np.array(
+            [(0.0, 0.2, "h"), (0.2, 0.5, "ə"), (0.5, 0.7, "aɪ")],
+            dtype=[("start", "f4"), ("end", "f4"), ("phone", "U8")],
+        )
+        fp = phnm_dir / f"utt{i:03d}_phnm3.npy"
+        np.save(fp, phones)
+        lines.append(f"{root}/wavs/utt{i:03d}.wav|{fp}")
+    filelist = tmp_path / "pm.txt"
+    filelist.write_text("\n".join(lines))
+    ds = PhnmMelDataset(
+        str(filelist), data_root_dir=str(root), mel_cache_dir=str(tmp_path / "mc")
+    )
+    item = ds[0]
+    assert item["x"].shape[1] == 25  # ternary traits
+    assert item["y"].shape[1] == 80  # mel
+    assert len(item["durations"]) == 4  # diphthong halved
+    np.testing.assert_allclose(item["durations"].sum(), 0.7 * 50, atol=1e-3)
