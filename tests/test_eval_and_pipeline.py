@@ -123,3 +123,29 @@ def test_acoustic_inference_contract(tmp_path, rng):
     # input_map is a valid monotonic token index sequence
     assert (np.diff(imap) >= 0).all()
     assert imap.max() < x.shape[1]
+
+
+def test_quanti_art(tmp_path, rng):
+    """quanti_art: (29, T) artifacts vs SPARC-style reference npys."""
+    from arttts_tpu.eval.quanti import quanti_art
+
+    pred_dir = tmp_path / "preds"
+    ref_dir = tmp_path / "refs"
+    pred_dir.mkdir()
+    ref_dir.mkdir()
+    T = 50
+    for i in range(3):
+        ref = rng.standard_normal((T, 14)).astype(np.float32)
+        np.save(ref_dir / f"u{i}.npy", ref)
+        arr = np.zeros((29, T), np.float32)
+        arr[14:28] = ref.T + 0.01 * rng.standard_normal((14, T))
+        np.save(pred_dir / f"u{i}.npy", arr)
+    results = quanti_art(str(pred_dir), str(ref_dir), str(tmp_path / "qa.csv"))
+    assert len(results) == 3
+    for v in results.values():
+        assert v["ema_pcc"] > 0.99
+        assert v["pitch_pcc"] > 0.99
+        assert v["loudness_pcc"] > 0.99
+        assert np.isfinite(v["dtw"])
+    header = (tmp_path / "qa.csv").read_text().splitlines()[0]
+    assert header == "sample_id,ema_pcc,pitch_pcc,loudness_pcc,dtw"
