@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--mel-cache")
     parser.add_argument("--save-dir", required=True)
     parser.add_argument("--n-timesteps", type=int, default=50)
+    parser.add_argument("--solver", choices=["euler", "heun"], default="euler",
+                        help="heun: 2nd-order ODE solver (fewer steps needed)")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--length-scale", type=float, default=1.0)
     parser.add_argument("--use-align", action="store_true",
@@ -72,6 +74,7 @@ def main(argv=None):
             temperature=args.temperature,
             length_scale=args.length_scale,
             use_align=args.use_align,
+            solver=args.solver,
         )
     logging.info("saved %d artifacts to %s", len(paths), args.save_dir)
 

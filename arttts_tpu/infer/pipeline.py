@@ -129,6 +129,7 @@ def run_acoustic_inference(
     use_align: bool = False,
     seed: int = 37,
     max_frames_cap: int = 2048,
+    solver: str = "euler",
 ) -> list:
     """Run per-sample synthesis over `dataset`, saving the (29|161, T) npy
     contract. Returns the list of saved paths."""
@@ -167,6 +168,7 @@ def run_acoustic_inference(
             length_scale=length_scale,
             spk=spk,
             x_durations=durations,
+            solver=solver,
         )
         L = int(np.asarray(y_len)[0])
         enc_np = np.asarray(enc)[0, :L]  # (L, n_feats)

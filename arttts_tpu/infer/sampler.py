@@ -97,7 +97,7 @@ def reverse_diffusion_heun(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_timesteps", "max_frames", "stoc"),
+    static_argnames=("model", "n_timesteps", "max_frames", "stoc", "solver"),
 )
 def synthesize(
     model,
@@ -112,6 +112,7 @@ def synthesize(
     spk=None,
     length_scale: float = 1.0,
     x_durations: Optional[jnp.ndarray] = None,
+    solver: str = "euler",
 ):
     """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
 
@@ -140,9 +141,14 @@ def synthesize(
     mu_y = jnp.einsum("bij,bic->bjc", attn, mu_x)  # (B, max_frames, C)
 
     z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature
-    dec_out = reverse_diffusion(
-        model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk, rng_stoc
-    )
+    if solver == "heun":
+        dec_out = reverse_diffusion_heun(
+            model, variables, z, y_mask, mu_y, n_timesteps, spk
+        )
+    else:
+        dec_out = reverse_diffusion(
+            model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk, rng_stoc
+        )
     return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
 
 
