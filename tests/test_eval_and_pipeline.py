@@ -149,3 +149,43 @@ def test_quanti_art(tmp_path, rng):
         assert np.isfinite(v["dtw"])
     header = (tmp_path / "qa.csv").read_text().splitlines()[0]
     assert header == "sample_id,ema_pcc,pitch_pcc,loudness_pcc,dtw"
+
+
+def test_run_sparc_vocoder(tmp_path, rng):
+    """(29, T) artifacts -> wavs through a random-init SPARC FiLM generator
+    with pitch/loudness denormalization."""
+    import jax
+    import jax.numpy as jnp
+
+    from arttts_tpu.audio.io import load_wav
+    from arttts_tpu.infer.pipeline import run_sparc_vocoder
+    from arttts_tpu.models.hifigan import (
+        SparcHiFiGANGenerator,
+        SpkSparcHiFiGANGenerator,
+    )
+
+    gen = SpkSparcHiFiGANGenerator(generator=SparcHiFiGANGenerator(channels=32))
+    c0 = jnp.zeros((1, 4, 14))
+    spk0 = jnp.zeros((1, 1024))
+    variables = gen.init(jax.random.PRNGKey(0), c0, spk0)
+
+    pred_dir = tmp_path / "preds"
+    pred_dir.mkdir()
+    T = 8
+    arr = np.zeros((29, T), np.float32)
+    arr[14:28] = rng.standard_normal((14, T)).astype(np.float32)
+    np.save(pred_dir / "s0.npy", arr)
+
+    out = run_sparc_vocoder(
+        gen,
+        variables,
+        [str(pred_dir / "s0.npy")],
+        spk_ft=rng.standard_normal(1024).astype(np.float32),
+        save_dir=str(tmp_path / "wavs"),
+        pitch_stats=(120.0, 30.0),
+        loudness_stats=(0.0, 1.0),
+        sample_rate=16000,
+    )
+    assert len(out) == 1
+    audio, sr = load_wav(out[0])
+    assert sr == 16000 and len(audio) == T * 256

@@ -74,3 +74,26 @@ def test_synthesize_to_wav_single_program(rng):
     )
     assert wav.shape == (2, 32 * 256, 1)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_stochastic_sampler_path(rng):
+    """stoc=True adds per-step noise; runs and differs from the ODE path."""
+    from arttts_tpu.infer.sampler import reverse_diffusion
+
+    cfg = tiny_config()
+    model = GradTTSModel(config=cfg)
+    x, x_lengths, y, _ = make_batch(rng, cfg, T_y=16)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        x, x_lengths, y[:, :16], jnp.ones((2, 16, 1)), jnp.zeros((2,)),
+    )
+    mask = jnp.ones((2, 16, cfg.n_feats))[:, :, :1]
+    mu = jnp.asarray(np.asarray(y[:, :16]) * 0.2)
+    z = mu + 0.1
+    det = reverse_diffusion(model, variables, z, mask, mu, 3, stoc=False)
+    sto = reverse_diffusion(
+        model, variables, z, mask, mu, 3, stoc=True, rng=jax.random.PRNGKey(5)
+    )
+    assert np.isfinite(np.asarray(sto)).all()
+    assert not np.allclose(np.asarray(det), np.asarray(sto))
