@@ -179,11 +179,7 @@ def run_acoustic_inference(
             enc_np = enc_np[:, list(SPARC_REORDER_FEATS)]  # (L, 14)
             dec_np = dec_np[:, list(SPARC_REORDER_FEATS)]
         out = np.vstack([enc_np.T, dec_np.T, input_map[None, :]])  # (29|161, L)
-        if hasattr(dataset, "entries"):
-            sample_id = Path(dataset.entries[index][0]).stem
-        else:  # ms datasets expose a voxcommunis manifest of (file_id, ...)
-            sample_id = dataset.manifest[index][0]
-        path = save_dir / f"{sample_id}.npy"
+        path = save_dir / f"{_sample_id(dataset, index)}.npy"
         np.save(path, out.astype(np.float32))
         saved.append(str(path))
     return saved

@@ -145,6 +145,39 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "d͡ʑ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=1, hi=1),
     "ʈ͡ʂ": _cons(delrel=1, strid=1, ant=-1, cor=1, distr=-1),
     "ɖ͡ʐ": _cons(delrel=1, strid=1, voi=1, ant=-1, cor=1, distr=-1),
+    # --- additional consonants for broad CommonVoice coverage ------------
+    "ɸ": _cons(cont=1, strid=-1, lab=1, ant=1),            # bilabial fric
+    "β": _cons(cont=1, strid=-1, voi=1, lab=1, ant=1),
+    "ʋ": _cons(son=1, cont=1, voi=1, lab=1, ant=1, strid=-1),  # labiodental appr
+    "ɰ": _cons(son=1, cons=-1, cont=1, voi=1, hi=1, back=1, strid=-1),
+    "ɭ": _cons(son=1, cont=1, lat=1, voi=1, ant=-1, cor=1, distr=-1),  # retroflex l
+    "ɳ": _cons(son=1, nas=1, voi=1, ant=-1, cor=1, distr=-1),  # retroflex n
+    "ɽ": _cons(son=1, cont=-1, voi=1, ant=-1, cor=1, distr=-1),  # retroflex flap
+    "ɴ": _cons(son=1, nas=1, voi=1, ant=-1, hi=-1, back=1),  # uvular nasal
+    "ɢ": _cons(voi=1, ant=-1, hi=-1, back=1),               # uvular stop
+    "ħ": _cons(son=-1, cons=1, cont=1, sg=-1, ant=-1, lo=1, back=1),  # pharyngeal
+    "ʕ": _cons(son=-1, cons=1, cont=1, voi=1, ant=-1, lo=1, back=1),
+    "ɬ": _cons(cont=1, lat=1, strid=1, ant=1, cor=1, distr=-1),  # lateral fric
+    "ɮ": _cons(cont=1, lat=1, strid=1, voi=1, ant=1, cor=1, distr=-1),
+    "ɹ̠": _cons(son=1, cont=1, voi=1, ant=-1, cor=1, distr=1),
+    # implosives: constricted glottis + voicing
+    "ɓ": _cons(voi=1, cg=1, lab=1, ant=1),
+    "ɗ": _cons(voi=1, cg=1, ant=1, cor=1, distr=-1),
+    "ɠ": _cons(voi=1, cg=1, ant=-1, hi=1, back=1),
+    # clicks: velaric airstream
+    "ʘ": _cons(velaric=1, lab=1, ant=1),
+    "ǀ": _cons(velaric=1, ant=1, cor=1, distr=1),
+    "ǃ": _cons(velaric=1, ant=-1, cor=1, distr=-1),
+    "ǂ": _cons(velaric=1, ant=-1, cor=1, distr=1),
+    "ǁ": _cons(velaric=1, lat=1, ant=1, cor=1, distr=-1),
+    # --- additional vowels -----------------------------------------------
+    "ɶ": _vowel(-1, 1, -1, 1, -1),
+    "ʏ": _vowel(1, -1, -1, 1, -1),
+    "ɵ": _vowel(-1, -1, 0, 1, 1),
+    "ɘ": _vowel(-1, -1, 0, -1, 1),
+    "ɞ": _vowel(-1, -1, 0, 1, -1),
+    "ɪ̈": _vowel(1, -1, 0, -1, -1),
+    "ə̯": _vowel(-1, -1, 0, -1, 0, syl=-1),  # non-syllabic schwa
     # --- tone letters (zh-CN and other tonal corpora): only the tonal
     # traits are marked; "˧" (mid) is the all-zero vector used as the
     # multilingual silence representative (voxcommunis/decoder.py).
@@ -165,6 +198,10 @@ _MODIFIERS = {
     "ʲ": {"hi": 1},         # palatalization
     "̩": {"syl": 1},         # syllabic consonant (MNGU0 m!/n!/l!)
     "ʷ": {"round": 1, "lab": 1},  # labialization
+    "ʼ": {"cg": 1},          # ejective
+    "̪": {"distr": 1},        # dental
+    "̠": {"ant": -1},         # retracted
+    "̯": {"syl": -1},         # non-syllabic
 }
 
 
