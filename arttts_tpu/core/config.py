@@ -45,6 +45,7 @@ class EncoderConfig:
     prenet_kernel: int = 5
     prenet_layers: int = 3
     prenet_dropout: float = 0.5
+    use_duration_predictor: bool = True  # False for aligned-input models (v6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,7 +201,12 @@ def _presets() -> dict:
                 name="grad_ttartic",
                 n_feats=16,
                 n_spks=2,  # >1 enables the speaker-conditioned path
-                encoder=EncoderConfig(kind="ipa_trait", n_input_feats=26, n_heads=1),
+                encoder=EncoderConfig(
+                    kind="ipa_trait",
+                    n_input_feats=26,
+                    n_heads=1,
+                    use_duration_predictor=False,  # aligned inputs (model_ms)
+                ),
                 decoder=DecoderConfig(kind="unet2d"),
             ),
             DataConfig(dataset="ms_phnm_artic", frame_rate=50),

@@ -93,12 +93,17 @@ class Encoder(nn.Module):
         )(h, x_mask, deterministic=deterministic)
 
         mu = nn.Conv(self.n_feats, (1,), name="proj_m")(h) * x_mask
-        # duration predictor sees gradient-stopped features (text_encoder.py:433)
-        h_dp = jax.lax.stop_gradient(h)
-        logw = DurationPredictor(
-            filter_channels=c.filter_channels_dp,
-            kernel_size=c.kernel_size,
-            dropout=c.dropout,
-            name="proj_w",
-        )(h_dp, x_mask, deterministic=deterministic)
+        if c.use_duration_predictor:
+            # duration predictor sees gradient-stopped features
+            # (text_encoder.py:433)
+            h_dp = jax.lax.stop_gradient(h)
+            logw = DurationPredictor(
+                filter_channels=c.filter_channels_dp,
+                kernel_size=c.kernel_size,
+                dropout=c.dropout,
+                name="proj_w",
+            )(h_dp, x_mask, deterministic=deterministic)
+        else:
+            # aligned-input models (model_ms phnm_encoder.py has no proj_w)
+            logw = jnp.zeros_like(x_mask)
         return mu, logw, x_mask

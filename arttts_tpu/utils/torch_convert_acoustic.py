@@ -324,36 +324,19 @@ def convert_grad_tts(state_dict: Dict, n_enc_layers: int = 6,
     }
 
 
-def convert_grad_ttartic(state_dict: Dict, n_enc_layers: int = 6,
-                         filter_channels_dp: int = 256) -> Dict:
+def convert_grad_ttartic(state_dict: Dict, n_enc_layers: int = 6) -> Dict:
     """Multi-speaker `GradTTArtic` state dict (model_ms/tts.py:25-95) ->
     params for `GradTTSModel(name="grad_ttartic")`.
 
     Differences vs the single-speaker converter: a SpeakerEncodingLayer
     subtree, an always-on speaker MLP in the estimator (Dense_2/Dense_3
-    after the time MLP), and NO duration predictor in the reference — the
-    unified model still owns `proj_w` params, so zero-filled placeholders
-    are synthesized (the aligned-input loss/sampler never uses them).
+    after the time MLP), and no duration predictor on either side
+    (use_duration_predictor=False in the v6 presets).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
+    # the ms encoder has no proj_w (phnm_encoder.py:326-391) and neither does
+    # the unified model when use_duration_predictor=False
     enc = convert_encoder(sd, "encoder.", n_enc_layers, has_embedding=False)
-
-    # the ms encoder has no proj_w (phnm_encoder.py:326-391); synthesize zeros
-    width = sd["encoder.proj_m.weight"].shape[1]
-    dp = filter_channels_dp
-    zeros = np.zeros
-    enc["proj_w"] = {
-        "Conv_0": {"kernel": zeros((3, width, dp), np.float32),
-                   "bias": zeros((dp,), np.float32)},
-        "ChannelLayerNorm_0": {"LayerNorm_0": {
-            "scale": np.ones((dp,), np.float32), "bias": zeros((dp,), np.float32)}},
-        "Conv_1": {"kernel": zeros((3, dp, dp), np.float32),
-                   "bias": zeros((dp,), np.float32)},
-        "ChannelLayerNorm_1": {"LayerNorm_0": {
-            "scale": np.ones((dp,), np.float32), "bias": zeros((dp,), np.float32)}},
-        "Conv_2": {"kernel": zeros((1, dp, 1), np.float32),
-                   "bias": zeros((1,), np.float32)},
-    }
 
     est = convert_estimator2d(sd, "decoder.estimator.")
     # speaker MLP (diffusion.py ms variant: spk_mlp.0 / spk_mlp.2)
