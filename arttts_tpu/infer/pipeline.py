@@ -78,9 +78,18 @@ def run_acoustic_inference_batched(
         spk = None
         if "spk" in items[idx[0]]:
             spk = jnp.asarray(np.stack([np.asarray(items[i]["spk"]) for i in idx]))
-        # predicted frames drive one shared bucket per batch
-        w = predict_frames(model, variables, jnp.asarray(x), x_lengths, spk)
-        pred = int(np.ceil(np.asarray(w).max()))
+        durations = None
+        if "durations" in items[idx[0]]:  # aligned-input models (v6)
+            dur = np.zeros((B, T_x), np.float32)
+            for j, i in enumerate(idx):
+                d = np.ceil(np.asarray(items[i]["durations"]))
+                dur[j, : len(d)] = d
+            durations = jnp.asarray(dur)
+            pred = int(dur.sum(axis=1).max())
+        else:
+            # predicted frames drive one shared bucket per batch
+            w = predict_frames(model, variables, jnp.asarray(x), x_lengths, spk)
+            pred = int(np.ceil(np.asarray(w).max()))
         max_frames = frame_bucket(min(fix_len_compatibility(max(pred, 64)), max_frames_cap))
         rng, key = jax.random.split(rng)
         enc, dec, attn, y_len = synthesize(
@@ -93,6 +102,7 @@ def run_acoustic_inference_batched(
             max_frames=int(max_frames),
             temperature=temperature,
             spk=spk,
+            x_durations=durations,
         )
         for j, i in enumerate(idx):
             L = int(np.asarray(y_len)[j])

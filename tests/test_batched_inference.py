@@ -69,3 +69,58 @@ def test_batched_acoustic_inference(tmp_path, rng):
         arr = np.load(p)
         assert arr.shape[0] == 29
         assert np.isfinite(arr).all()
+
+
+def test_batched_ms_inference_with_durations(tmp_path, rng):
+    """Batched serving for the aligned-input (v6) family: durations drive the
+    bucket and alignment."""
+    from arttts_tpu.core.config import get_preset
+    import dataclasses as _dc
+
+    base = get_preset("v6")
+    cfg = _dc.replace(
+        base,
+        model=_dc.replace(
+            base.model,
+            encoder=_dc.replace(
+                base.model.encoder, n_channels=16, filter_channels=32,
+                filter_channels_dp=16, n_layers=1,
+            ),
+            decoder=_dc.replace(base.model.decoder, dim=8, masked_norm=True),
+        ),
+    )
+
+    class DS:
+        manifest = [(f"cv_x_ab_{i:03d}", None) for i in range(3)]
+
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            T = 5 + i
+            x = r.integers(-1, 2, size=(T, 26)).astype(np.float32)
+            d = r.integers(2, 6, size=T).astype(np.float32)
+            x[:, 25] = d
+            return {"x": x, "spk": r.standard_normal(1024).astype(np.float32),
+                    "durations": d}
+
+    model = GradTTSModel(config=cfg.model)
+    ds = DS()
+    item = ds[0]
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.asarray(item["x"])[None], jnp.array([5]),
+        jnp.zeros((1, 32, 16)), jnp.ones((1, 32, 1)), jnp.zeros((1,)),
+        jnp.asarray(item["spk"])[None],
+    )
+    paths = run_acoustic_inference_batched(
+        cfg, variables, ds, str(tmp_path / "p"), batch_size=2, n_timesteps=2
+    )
+    assert len(paths) == 3
+    for i, p in enumerate(sorted(paths)):
+        arr = np.load(p)
+        assert arr.shape[0] == 29
+        d = ds[i]["durations"]
+        assert arr.shape[1] == int(np.ceil(d).sum())
