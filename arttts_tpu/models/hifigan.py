@@ -255,7 +255,7 @@ class SpkSparcHiFiGANGenerator(nn.Module):
     @nn.compact
     def __call__(self, c, spk_ft, deterministic: bool = True):
         h = nn.Dense(self.spk_ft_size, name="spk_enc_0")(spk_ft)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch GELU is exact erf
         spk_emb = nn.Dense(self.spk_emb_size, name="spk_enc_1")(h)
         return self.generator(c, spk_emb, deterministic=deterministic)
 

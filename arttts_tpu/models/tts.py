@@ -35,7 +35,7 @@ class SpeakerEncodingLayer(nn.Module):
     @nn.compact
     def __call__(self, spk_ft):
         h = nn.Dense(self.hidden_dim)(spk_ft)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch GELU is exact erf
         return nn.Dense(self.out_dim)(h)
 
 

@@ -156,3 +156,24 @@ def test_convert_spk_sparc_structure(rng):
     wav = model.apply({"params": params}, cfeat, spk_ft)
     assert wav.shape == (1, 6 * 256, 1)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_convert_speaker_encoding_layer(rng):
+    import torch
+
+    from arttts_tpu.models.tts import SpeakerEncodingLayer
+    from arttts_tpu.utils.torch_convert import convert_speaker_encoding_layer
+
+    lin1 = torch.nn.Linear(1024, 1024)
+    lin2 = torch.nn.Linear(1024, 64)
+    sd = {
+        "spk_fc.0.weight": lin1.weight, "spk_fc.0.bias": lin1.bias,
+        "spk_fc.3.weight": lin2.weight, "spk_fc.3.bias": lin2.bias,
+    }
+    params = convert_speaker_encoding_layer(sd)
+    x = rng.standard_normal((2, 1024)).astype(np.float32)
+    with torch.no_grad():
+        want = lin2(torch.nn.functional.gelu(lin1(torch.from_numpy(x)))).numpy()
+    layer = SpeakerEncodingLayer()
+    got = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
