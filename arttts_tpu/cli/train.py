@@ -26,6 +26,7 @@ def build_dataset(cfg, args, filelist):
             args.cmudict or "arttts_tpu/resources/cmu_dictionary",
             data_root_dir=args.data_root,
             mel_cache_dir=args.mel_cache,
+            gradtts_text_conv=cfg.data.gradtts_text_conv,
         )
     if kind == "text_artic":
         return D.TextArticDataset(
@@ -44,6 +45,7 @@ def build_dataset(cfg, args, filelist):
             filelist,
             args.cmudict or "arttts_tpu/resources/cmu_dictionary",
             artic_dir=args.artic_dir or args.data_root,
+            gradtts_text_conv=cfg.data.gradtts_text_conv,
         )
     if kind == "ms_phnm_artic":
         from arttts_tpu.data.ms_datasets import MsPhnmArticDataset
@@ -51,12 +53,24 @@ def build_dataset(cfg, args, filelist):
         from arttts_tpu.voxcommunis.decoder import FeatureDecoder
 
         tok = FeatureTokenizer(FeatureDecoder(sum_diphthong=True))
+        separate = args.separate_files or cfg.data.separate_files
+        # monolingual v6/v6_zhCN: the preset's lang picks the per-language
+        # manifest/alignment file inside the given directories
+        manifest, alignment = args.manifest, args.alignment
+        if not separate and cfg.data.lang:
+            from pathlib import Path
+
+            if manifest and Path(manifest).is_dir():
+                manifest = str(Path(manifest) / f"{cfg.data.lang}.tsv")
+            if alignment and Path(alignment).is_dir():
+                alignment = str(Path(alignment) / f"{cfg.data.lang}.align")
         return MsPhnmArticDataset(
             args.data_root,
-            args.manifest,
-            args.alignment,
+            manifest,
+            alignment,
             tok,
-            separate_files=args.separate_files,
+            separate_files=separate,
+            exclude_langs=list(cfg.data.exclude_langs) or None,
         )
     raise ValueError(f"unknown dataset kind {kind}")
 
@@ -112,9 +126,14 @@ def main(argv=None):
         if args.valid_filelist
         else None
     )
+    language_upsample = (
+        args.language_upsample
+        if args.language_upsample is not None
+        else (cfg.data.language_upsample or None)
+    )
     trainer = Trainer(cfg, train_ds, valid_dataset=valid_ds, use_mesh=args.mesh,
                       log_dir=args.log_dir,
-                      language_upsample=args.language_upsample)
+                      language_upsample=language_upsample)
     if args.resume:
         trainer.resume(None if args.resume == "latest" else args.resume)
     trainer.fit(n_epochs=args.epochs)

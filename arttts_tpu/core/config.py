@@ -97,6 +97,17 @@ class DataConfig:
     frame_rate: int = 50  # articulatory frame rate (SPARC, Hz)
     log_normalize_loudness: bool = False
     merge_diphthongs: bool = False
+    # text path: True = GradTTS symbol conversion; False = the "phnmtext"
+    # ARPAbet-first path (ref configs/params_v2_phnmtext.py:24-25,
+    # data_textmel.py:95-107)
+    gradtts_text_conv: bool = True
+    # VoxCommunis wiring for the v6 family (ref configs/params_v6.py:66-89,
+    # params_msml1h.py:64-160)
+    suffix: str = "-20h"  # "-1h" | "-20h" corpus slice
+    separate_files: bool = False  # True: per-language manifest/alignment dirs
+    lang: str = "it"  # monolingual language when separate_files=False
+    exclude_langs: Tuple[str, ...] = ()
+    language_upsample: float = 0.0  # temperature upsample factor (0 = off)
     # static-shape bucketing for jit (TPU addition; reference pads dynamically)
     max_text_len: int = 256
     max_frame_len: int = 1024
@@ -145,76 +156,165 @@ def _mel_model(n_vocab: int) -> ModelConfig:
     )
 
 
+# msml1h's 62-language training list and exclusions
+# (ref configs/params_msml1h.py:87-160)
+MSML1H_LANG_CODES: Tuple[str, ...] = (
+    "ka", "ja", "ba", "ro", "hi", "uz", "tt", "el", "sr", "mt", "yo", "be",
+    "uk", "hy-AM", "sk", "ckb", "ur", "tr", "vi", "sq", "bg", "ta", "sv-SE",
+    "eu", "id", "sw", "tk", "kmr", "dv", "ha", "zh-HK", "bn", "mn", "zh-CN",
+    "yue", "lij", "fr", "hsb", "cv", "ko", "nl", "ug", "mr", "ab", "it",
+    "lt", "sl", "kk", "pa-IN", "ru", "cs", "gn", "ml", "nan-tw", "th", "pt",
+    "ky", "pl", "ca", "myv", "hu", "rw", "am",
+)
+MSML1H_INSUFFICIENT_LANGS: Tuple[str, ...] = ("kk", "am", "ur", "sq")
+MSML1H_ZEROSHOT_LANGS: Tuple[str, ...] = ("eu", "ka", "ab", "gn", "sw", "ha", "ko", "myv")
+MSML1H_EXCLUDE_LANGS: Tuple[str, ...] = MSML1H_INSUFFICIENT_LANGS + MSML1H_ZEROSHOT_LANGS
+
+
 def _presets() -> dict:
     from arttts_tpu.text.symbols import n_symbols_with_blank
 
     artic_data = lambda ds: DataConfig(dataset=ds, frame_rate=50)  # noqa: E731
     mel_data = DataConfig(dataset="text_mel", sample_rate=22050)
-    artic_train = TrainConfig(out_size=fix_len_compatibility(2 * 50))
-    mel_train = TrainConfig(
-        out_size=fix_len_compatibility(2 * 22050 // 256),
-        save_every=200,
-        val_every=200,
+
+    def artic_train(log_dir, **kw):
+        return TrainConfig(
+            log_dir=log_dir, out_size=fix_len_compatibility(2 * 50), **kw
+        )
+
+    def mel_train(log_dir, **kw):
+        return TrainConfig(
+            log_dir=log_dir, out_size=fix_len_compatibility(2 * 22050 // 256), **kw
+        )
+
+    # v6 family model: GradTTArtic aligned-input multi-speaker
+    # (configs/params_v6.py:37-53 — note n_heads=2, n_ipa_feats=26)
+    v6_model = ModelConfig(
+        name="grad_ttartic",
+        n_feats=16,
+        n_spks=2,  # >1 enables the speaker-conditioned path
+        encoder=EncoderConfig(
+            kind="ipa_trait",
+            n_input_feats=26,
+            n_heads=2,
+            use_duration_predictor=False,  # aligned inputs (model_ms)
+        ),
+        decoder=DecoderConfig(kind="unet2d"),
+    )
+    v6_train = artic_train(
+        "logs/v6", test_size=8, n_epochs=5000, save_every=50, val_every=50
     )
 
     presets = {
         # v0: ArtTTS text→artic (configs/params_v0.py)
-        "v0": ExperimentConfig("v0", _artic_model(), artic_data("text_artic"), artic_train),
+        "v0": ExperimentConfig(
+            "v0",
+            _artic_model(),
+            artic_data("text_artic"),
+            artic_train("logs/new_exp", patience=3),
+        ),
         # v1/v1_1: ArtTTS phnm3→artic (configs/params_v1.py, params_v1_1.py)
-        "v1": ExperimentConfig("v1", _artic_model(), artic_data("phnm_artic"), artic_train),
-        "v1_1": ExperimentConfig("v1_1", _artic_model(), artic_data("phnm_artic"), artic_train),
+        "v1": ExperimentConfig(
+            "v1", _artic_model(), artic_data("phnm_artic"), artic_train("logs/v1")
+        ),
+        "v1_1": ExperimentConfig(
+            "v1_1", _artic_model(), artic_data("phnm_artic"), artic_train("logs/v1_1")
+        ),
         # v2: GradTTS text→mel (configs/params_v2.py)
         "v2": ExperimentConfig(
-            "v2", _mel_model(n_symbols_with_blank()), mel_data, mel_train
+            "v2",
+            _mel_model(n_symbols_with_blank()),
+            mel_data,
+            mel_train("logs/v2_full", save_every=200, val_every=200),
+        ),
+        # v2_phnmtext: v2 with the ARPAbet-first text path
+        # (configs/params_v2_phnmtext.py)
+        "v2_phnmtext": ExperimentConfig(
+            "v2_phnmtext",
+            _mel_model(n_symbols_with_blank()),
+            dataclasses.replace(mel_data, gradtts_text_conv=False),
+            mel_train("logs/v2_phnmtext"),
         ),
         # v3: ArtTTS phnm→mel (configs/params_v3.py)
         "v3": ExperimentConfig(
             "v3",
             dataclasses.replace(_artic_model(), n_feats=80),
             DataConfig(dataset="phnm_mel"),
-            mel_train,
+            mel_train("logs/v3"),
         ),
         # v4: GradTTS text→artic (configs/params_v4.py)
         "v4": ExperimentConfig(
             "v4",
             dataclasses.replace(_mel_model(n_symbols_with_blank()), n_feats=16),
             artic_data("text_art"),
-            artic_train,
+            artic_train("logs/v4"),
+        ),
+        # v4_phnmtext (configs/params_v4_phnmtext.py)
+        "v4_phnmtext": ExperimentConfig(
+            "v4_phnmtext",
+            dataclasses.replace(_mel_model(n_symbols_with_blank()), n_feats=16),
+            dataclasses.replace(
+                artic_data("text_art"), gradtts_text_conv=False
+            ),
+            artic_train("logs/v4_phnmtext"),
         ),
         # v5: AttentionTTS phnm3→artic with 1D decoder (configs/params_v5.py)
         "v5": ExperimentConfig(
             "v5",
             _artic_model("attention_tts", "unet1d"),
             artic_data("phnm_artic"),
-            artic_train,
+            artic_train("logs/v5", save_every=50, val_every=50),
         ),
         "v5_preblock": ExperimentConfig(
             "v5_preblock",
             _artic_model("attention_tts_preblock", "unet1d_preblock"),
             artic_data("phnm_artic"),
-            artic_train,
+            artic_train("logs/v5_preblock", save_every=50, val_every=50),
         ),
         # v6 family: GradTTArtic multi-speaker aligned-input (configs/params_v6.py)
         "v6": ExperimentConfig(
             "v6",
-            ModelConfig(
-                name="grad_ttartic",
-                n_feats=16,
-                n_spks=2,  # >1 enables the speaker-conditioned path
-                encoder=EncoderConfig(
-                    kind="ipa_trait",
-                    n_input_feats=26,
-                    n_heads=1,
-                    use_duration_predictor=False,  # aligned inputs (model_ms)
-                ),
-                decoder=DecoderConfig(kind="unet2d"),
+            v6_model,
+            DataConfig(
+                dataset="ms_phnm_artic",
+                frame_rate=50,
+                suffix="-20h",
+                separate_files=False,
+                lang="it",
             ),
-            DataConfig(dataset="ms_phnm_artic", frame_rate=50),
-            artic_train,
+            v6_train,
+        ),
+        # v6_zhCN: the same recipe on Mandarin (configs/params_v6_zhCN.py:79-91)
+        "v6_zhCN": ExperimentConfig(
+            "v6_zhCN",
+            v6_model,
+            DataConfig(
+                dataset="ms_phnm_artic",
+                frame_rate=50,
+                suffix="-20h",
+                separate_files=False,
+                lang="zh-CN",
+            ),
+            dataclasses.replace(v6_train, log_dir="logs/v6_zhCN"),
+        ),
+        # msml1h: 62-language multilingual 1h-per-language run with language
+        # upsampling and exclusions (configs/params_msml1h.py:64-166)
+        "msml1h": ExperimentConfig(
+            "msml1h",
+            v6_model,
+            DataConfig(
+                dataset="ms_phnm_artic",
+                frame_rate=50,
+                suffix="-1h",
+                separate_files=True,
+                exclude_langs=MSML1H_EXCLUDE_LANGS,
+                language_upsample=0.9,
+            ),
+            dataclasses.replace(
+                v6_train, log_dir="logs/msml1h", patience=0
+            ),  # the msml1h trainer runs without early stopping
         ),
     }
-    presets["v6_zhCN"] = dataclasses.replace(presets["v6"], name="v6_zhCN")
-    presets["msml1h"] = dataclasses.replace(presets["v6"], name="msml1h")
     return presets
 
 

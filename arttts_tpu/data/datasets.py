@@ -41,6 +41,22 @@ def _resolve(fp: str, data_root_dir: str) -> str:
     return fp.replace("DUMMY/", str(data_root_dir) + "/")
 
 
+def _text_to_symbol_ids(text: str, cmudict: CMUDict, gradtts_text_conv: bool):
+    """GradTTS direct symbol conversion, or the "phnmtext" ARPAbet-first path
+    (ref data_textmel.py:95-107: text -> ARPAbet word list -> sequence with
+    english_cleaners_v2)."""
+    if gradtts_text_conv:
+        return text_to_sequence(text, dictionary=cmudict)
+    from arttts_tpu.text.converters import text_to_arpabet
+
+    arp_words = text_to_arpabet(text, dictionary=cmudict)
+    return text_to_sequence(
+        " ".join(arp_words),
+        cleaner_names=("english_cleaners_v2",),
+        dictionary=cmudict,
+    )
+
+
 class _Base:
     def __len__(self) -> int:
         return len(self.entries)
@@ -150,6 +166,18 @@ class PhnmArticDataset(_Base):
             art_fp, log_normalize_loudness=self.log_normalize_loudness
         )
 
+    def lengths(self) -> np.ndarray:
+        """Exact 50 Hz frame counts from the phnm3 end times (the filelist's
+        last field is a path of near-constant length, so the base heuristic
+        would degenerate to arbitrary order)."""
+        if getattr(self, "_lengths", None) is None:
+            out = []
+            for entry in self.entries:
+                phnm3 = np.load(_resolve(entry[1], self.data_root_dir))
+                out.append(int(round(float(phnm3[-1][1]) * 50.0)))
+            self._lengths = np.asarray(out)
+        return self._lengths
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         phnm3_fp = self.entries[index][1]
         return {"x": self.get_phnm_emb(phnm3_fp), "y": self.get_art(phnm3_fp)}
@@ -168,6 +196,7 @@ class TextMelDataset(_Base):
         shuffle: bool = True,
         seed: int = 37,
         mel_cache_dir: Optional[str] = None,
+        gradtts_text_conv: bool = True,
     ):
         self.entries = parse_filelist(filelist_path)
         if shuffle:
@@ -175,13 +204,14 @@ class TextMelDataset(_Base):
         self.cmudict = CMUDict(cmudict_path)
         self.data_root_dir = data_root_dir
         self.add_blank = add_blank
+        self.gradtts_text_conv = gradtts_text_conv
         self.mel = MelSpectrogram(mel_config)
         self.mel_cache_dir = Path(mel_cache_dir) if mel_cache_dir else None
         if self.mel_cache_dir:
             self.mel_cache_dir.mkdir(parents=True, exist_ok=True)
 
     def get_text(self, text: str) -> np.ndarray:
-        seq = text_to_sequence(text, dictionary=self.cmudict)
+        seq = _text_to_symbol_ids(text, self.cmudict, self.gradtts_text_conv)
         if self.add_blank:
             seq = intersperse(seq, len(symbols))
         return np.asarray(seq, np.int32)
@@ -265,6 +295,7 @@ class TextArtDataset(_Base):
         log_normalize_loudness: bool = False,
         shuffle: bool = True,
         seed: int = 37,
+        gradtts_text_conv: bool = True,
     ):
         self.entries = parse_filelist(filelist_path)
         if shuffle:
@@ -272,11 +303,12 @@ class TextArtDataset(_Base):
         self.cmudict = CMUDict(cmudict_path)
         self.artic_dir = Path(artic_dir)
         self.add_blank = add_blank
+        self.gradtts_text_conv = gradtts_text_conv
         self.log_normalize_loudness = log_normalize_loudness
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         filepath, text = self.entries[index][0], self.entries[index][1]
-        seq = text_to_sequence(text, dictionary=self.cmudict)
+        seq = _text_to_symbol_ids(text, self.cmudict, self.gradtts_text_conv)
         if self.add_blank:
             seq = intersperse(seq, len(symbols))
         art = load_art_features(

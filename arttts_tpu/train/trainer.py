@@ -272,7 +272,13 @@ class Trainer:
 
             if epoch % t.save_every == 0:
                 self.synthesize_samples(epoch)
-                ref = val_metrics if epoch % t.val_every == 0 else train_metrics
+                # without a validation set validate() is empty — fall back to
+                # train metrics so early stopping / grad_best still track
+                ref = (
+                    val_metrics
+                    if epoch % t.val_every == 0 and val_metrics
+                    else train_metrics
+                )
                 losses = [
                     ref.get("prior_loss", float("inf")),
                     ref.get("diff_loss", float("inf")),

@@ -36,7 +36,8 @@ class EarlyStopping:
 
     @property
     def should_stop(self) -> bool:
-        return self.counter >= self.patience
+        # patience <= 0 disables early stopping (msml1h trains without it)
+        return self.patience > 0 and self.counter >= self.patience
 
     def state_dict(self) -> dict:
         return {

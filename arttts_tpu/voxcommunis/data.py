@@ -86,22 +86,25 @@ class FeatureTokenizer:
     def encode(
         self, ipa_phones: Sequence[str], counts: Sequence[int]
     ) -> Tuple[np.ndarray, List[str]]:
-        assert len(counts) == len(ipa_phones), (
-            f"Length mismatch between IPA phones ({len(ipa_phones)}) and counts "
-            f"({len(counts)})"
-        )
-        vectors, phones = [], []
-        for phone, reps in zip(ipa_phones, counts):
-            phs, vec = self.ipa_to_features(phone)
-            if len(vec) == 1:
-                vectors.append(np.repeat(vec, reps, axis=0))
-                phones += [phs[0]] * reps
-            else:
-                bounds = [round(i * reps / len(vec)) for i in range(len(vec) + 1)]
-                lengths = [e - b for b, e in zip(bounds[:-1], bounds[1:])]
-                vectors.append(np.repeat(vec, lengths, axis=0))
-                phones += [ph for ph, ln in zip(phs, lengths) for _ in range(ln)]
-        return np.concatenate(vectors, axis=0), phones
+        """Expand phones into per-frame feature rows. A phone held for
+        ``counts[i]`` frames repeats its vector; a k-component phone splits
+        its frames into k near-equal runs (half-to-even rounded boundaries,
+        matching ref data.py:304-338 semantics)."""
+        if len(counts) != len(ipa_phones):
+            raise ValueError(
+                f"Length mismatch between IPA phones ({len(ipa_phones)}) and "
+                f"counts ({len(counts)})"
+            )
+        chunks: List[np.ndarray] = []
+        frame_phones: List[str] = []
+        for phone, frames in zip(ipa_phones, counts):
+            names, vectors = self.ipa_to_features(phone)
+            k = len(names)
+            edges = np.rint(np.arange(k + 1) * frames / k).astype(np.int64)
+            runs = np.diff(edges)
+            chunks.append(np.repeat(vectors, runs, axis=0))
+            frame_phones.extend(np.repeat(np.asarray(names, dtype=object), runs))
+        return np.concatenate(chunks, axis=0), frame_phones
 
     def decode(self, tokens: np.ndarray) -> List[str]:
         """Feature rows -> segments via the decoder's inverse lookup."""

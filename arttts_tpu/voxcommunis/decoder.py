@@ -1,17 +1,24 @@
-"""Canonical segment <-> feature bijection for multilingual tokenization.
+"""Segment <-> phonological-feature bijection for multilingual tokenization.
 
-Equivalent of `/root/reference/src/voxcommunis/decoder.py:13-223`, built on
-the native IPA trait table (`arttts_tpu/text/ipa_features.py`) instead of
-panphon. Segments sharing a feature vector collapse onto one representative;
-diphthongs either sum (agreement mask, zeros elsewhere) or split into their
-component segments. `find_segment` inverts a feature vector with the
-least-zeros tie-break and allocates fake segment names for unseen vectors.
+Same *contract* as the reference decoder
+(`/root/reference/src/voxcommunis/decoder.py:13-223`): segments sharing a
+feature vector collapse onto the first-seen representative; diphthongs either
+merge under an agreement mask (``sum_diphthong``) or split into their
+component characters; ``find_segment`` inverts a ternary feature vector with
+a least-zeros tie-break and mints fake segment names for unseen vectors.
+
+The implementation is organised differently: one flat ``_VectorRegistry``
+(ordered distinct vectors keyed by raw bytes) replaces the reference's two
+inventory classes, and the inverse lookup is a single vectorized numpy
+compatibility test (``(F == q) | (F == 0)`` per constrained dim) instead of
+per-dimension boolean-mask dictionaries. Feature values come from the native
+IPA trait table (`arttts_tpu/text/ipa_features.py`) instead of panphon.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from functools import cached_property, lru_cache
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -22,190 +29,180 @@ PHON_FEAT_DIM = 24
 SILENCE = "SIL"
 ZERO_TONE = "˧"  # level-tone mark: the all-zero feature vector
 
-
-def _segment_feature_rows(seg: str) -> List[Tuple[int, ...]]:
-    """Per-component feature tuples for a (possibly multi-segment) string;
-    unknown segments map to one zero row (like the reference's silence
-    fallback, decoder.py:34-40)."""
-    if seg == ZERO_TONE:
-        return [(0,) * PHON_FEAT_DIM]
-    feats = word_features(seg)
-    if feats is None:
-        return [(0,) * PHON_FEAT_DIM]
-    return [tuple(int(v) for v in row) for row in feats]
+_ZERO_ROW = np.zeros((1, PHON_FEAT_DIM), dtype=np.int8)
 
 
-class UniqueSegmentFeature:
-    """Language-restricted inventory (decoder.py:13-77)."""
-
-    def __init__(self, segments: Iterable[str], sum_diphthong: bool):
-        self.sum_diphthong = sum_diphthong
-        self.features_to_segment: Dict[Tuple[int, ...], Tuple[str, Set[str]]] = {}
-        self.unique_segments: Set[str] = set()
-        self.multithongs: Set[str] = set()
-
-        mono, multi = [], []
-        for seg in segments:
-            rows = _segment_feature_rows(seg)
-            (mono if len(rows) == 1 else multi).append((seg, rows))
-        for batch in (mono, multi):
-            for segment, rows in batch:
-                self._add_batch_entry(segment, rows)
-
-    def _add_batch_entry(self, segment: str, rows):
-        if len(rows) == 1:
-            self.add_segment_feature(segment, rows[0])
-        elif self.sum_diphthong:
-            merged = tuple(
-                fs[0] if len(set(fs)) == 1 else 0 for fs in zip(*rows)
-            )
-            self.add_segment_feature(segment, merged)
-        else:
-            assert len(segment) == len(rows), (
-                f"Expected {len(rows)} components for {segment!r}"
-            )
-            self.multithongs.add(segment)
-            for s, feats in zip(segment, rows):
-                self.add_segment_feature(s, feats)
-
-    def add_segment_feature(self, segment: str, features: Tuple[int, ...]):
-        if segment not in self.unique_segments:
-            self.unique_segments.add(segment)
-            if features in self.features_to_segment:
-                self.features_to_segment[features][1].add(segment)
-            else:
-                self.features_to_segment[features] = (segment, {segment})
+def _component_vectors(segment: str) -> np.ndarray:
+    """(k, 24) int8 component vectors for a segment string; unknown segments
+    fall back to a single zero row (the reference's silence fallback,
+    decoder.py:34-40)."""
+    if segment == ZERO_TONE:
+        return _ZERO_ROW
+    rows = word_features(segment)
+    if rows is None:
+        return _ZERO_ROW
+    return np.asarray(rows, dtype=np.int8).reshape(-1, PHON_FEAT_DIM)
 
 
-class UniversalUniqueSegmentFeature:
-    """Whole-table inventory for multilingual mode (decoder.py:80-98)."""
+def _agreement_merge(rows: np.ndarray) -> np.ndarray:
+    """Collapse component rows to one vector: dims where every component
+    agrees keep the value, disagreeing dims zero out."""
+    unanimous = (rows == rows[:1]).all(axis=0)
+    return np.where(unanimous, rows[0], 0).astype(np.int8)
 
-    def __init__(self, sum_diphthong: bool):
-        self.sum_diphthong = sum_diphthong
-        self.features_to_segment: Dict[Tuple[int, ...], Tuple[str, Set[str]]] = {}
-        self.unique_segments: Set[str] = set()
-        self.multithongs: Set[str] = set()
-        for segment in list(SEGMENTS) + [ZERO_TONE]:
-            rows = _segment_feature_rows(segment)
-            self.add_segment_feature(segment, rows[0])
 
-    def add_segment_feature(self, segment: str, features: Tuple[int, ...]):
-        if segment not in self.unique_segments:
-            self.unique_segments.add(segment)
-            if features in self.features_to_segment:
-                self.features_to_segment[features][1].add(segment)
-            else:
-                self.features_to_segment[features] = (segment, {segment})
+class _VectorRegistry:
+    """Insertion-ordered set of distinct feature vectors.
+
+    The first segment to introduce a vector becomes its representative;
+    later segments with the same vector are recorded as aliases.
+    """
+
+    __slots__ = ("rows", "reps", "_row_of")
+
+    def __init__(self) -> None:
+        self.rows: List[np.ndarray] = []
+        self.reps: List[str] = []
+        self._row_of: Dict[bytes, int] = {}
+
+    def put(self, segment: str, vector: np.ndarray) -> int:
+        key = vector.tobytes()
+        row = self._row_of.get(key)
+        if row is None:
+            row = len(self.rows)
+            self._row_of[key] = row
+            self.rows.append(vector)
+            self.reps.append(segment)
+        return row
+
+    def lookup(self, vector: np.ndarray) -> Optional[int]:
+        return self._row_of.get(vector.tobytes())
 
 
 class FeatureDecoder:
     def __init__(
         self, sum_diphthong: bool, lang_segments: Optional[Iterable[str]] = None
     ):
-        self.fake_segments: Dict[Tuple[int, ...], str] = {}
-        self._segment_to_representative: Dict[str, Tuple[str, ...]] = {}
-
+        self.sum_diphthong = sum_diphthong
         self.multilingual_mode = lang_segments is None
+        self.fake_segments: Dict[Tuple[int, ...], str] = {}
+
+        self._registry = _VectorRegistry()
+        # every known segment string -> the registry rows it expands to
+        self._rows_of_segment: Dict[str, Tuple[int, ...]] = {}
+
         if self.multilingual_mode:
-            self.unique_seg_feats = UniversalUniqueSegmentFeature(sum_diphthong)
+            # whole trait table, one vector per base segment, plus the
+            # zero-vector level tone (decoder.py:80-98)
+            for seg in (*SEGMENTS, ZERO_TONE):
+                self._register(seg, _component_vectors(seg)[:1])
         else:
-            self.unique_seg_feats = UniqueSegmentFeature(lang_segments, sum_diphthong)
-
-        self._features = np.asarray(
-            list(self.unique_seg_feats.features_to_segment.keys())
-        )
-        self._representative_to_feature = dict(zip(self.segments, self._features))
-
-        for rep, eq_segments in self.unique_seg_feats.features_to_segment.values():
-            for seg in eq_segments:
-                self._segment_to_representative[seg] = (rep,)
-        for seg in self.unique_seg_feats.multithongs:
-            self._segment_to_representative[seg] = tuple(
-                rep for s in seg for rep in self._segment_to_representative[s]
+            # reference ordering: all single-component segments first, then
+            # multi-component ones (decoder.py:18-24)
+            staged = sorted(
+                ((seg, _component_vectors(seg)) for seg in lang_segments),
+                key=lambda item: len(item[1]) > 1,
             )
+            for seg, vectors in staged:
+                self._register(seg, vectors)
 
-        featsT = self._features.T
-        self.feature_to_indices = [
-            {-1: featsT[d] <= 0, 1: featsT[d] >= 0} for d in range(featsT.shape[0])
-        ]
+        self._matrix = np.stack(self._registry.rows, axis=0).astype(np.int64)
+        self._row_of_rep = {rep: i for i, rep in enumerate(self._registry.reps)}
 
-    @functools.cached_property
+    def _register(self, segment: str, vectors: np.ndarray) -> None:
+        if segment in self._rows_of_segment:
+            return
+        if len(vectors) == 1:
+            self._rows_of_segment[segment] = (self._registry.put(segment, vectors[0]),)
+        elif self.sum_diphthong:
+            merged = _agreement_merge(vectors)
+            self._rows_of_segment[segment] = (self._registry.put(segment, merged),)
+        else:
+            if len(segment) != len(vectors):
+                raise ValueError(
+                    f"Expected {len(vectors)} characters in {segment!r} to split "
+                    "a multi-component segment"
+                )
+            rows = []
+            for char, vec in zip(segment, vectors):
+                existing = self._rows_of_segment.get(char)
+                if existing is None:
+                    existing = (self._registry.put(char, vec),)
+                    self._rows_of_segment[char] = existing
+                rows.extend(existing)
+            self._rows_of_segment[segment] = tuple(rows)
+
+    # -- public inventory views ------------------------------------------
+
+    @cached_property
     def header(self) -> Tuple[str, ...]:
         return tuple(TRAITS[:PHON_FEAT_DIM])
 
-    @functools.cached_property
+    @cached_property
     def segments(self) -> Tuple[str, ...]:
-        return tuple(
-            rep for rep, _ in self.unique_seg_feats.features_to_segment.values()
-        )
+        return tuple(self._registry.reps)
 
-    @functools.lru_cache(maxsize=None)
+    @lru_cache(maxsize=None)
     def segment_id(self, segment: str) -> int:
         return self.segments.index(segment)
 
     @property
     def features(self) -> np.ndarray:
-        return self._features
+        return self._matrix
 
-    @functools.cached_property
+    @cached_property
     def zero_index(self) -> int:
         if self.multilingual_mode:
-            for k, (_, segs) in enumerate(
-                self.unique_seg_feats.features_to_segment.values()
-            ):
-                if ZERO_TONE in segs:
-                    return k
-            raise ValueError("no zero-tone entry in multilingual inventory")
+            return self._rows_of_segment[ZERO_TONE][0]
         return self.segments.index(SILENCE)
+
+    # -- forward: segment -> representative -> features -------------------
 
     def segment_to_representative(self, segment: str) -> Tuple[str, ...]:
         if segment == SILENCE:
             return (self.segments[self.zero_index],)
-        if segment in self._segment_to_representative:
-            return self._segment_to_representative[segment]
-        assert self.multilingual_mode, (
-            f"Unable to find segment {segment!r} in the language inventory."
-        )
-        rows = _segment_feature_rows(segment)
-        return tuple(
-            self.unique_seg_feats.features_to_segment[tuple(r)][0]
-            if tuple(r) in self.unique_seg_feats.features_to_segment
-            else self.segments[self.zero_index]
-            for r in rows
-        )
+        rows = self._rows_of_segment.get(segment)
+        if rows is not None:
+            return tuple(self._registry.reps[r] for r in rows)
+        if not self.multilingual_mode:
+            raise KeyError(
+                f"Unable to find segment {segment!r} in the language inventory."
+            )
+        # unseen multilingual segment: resolve each component by vector,
+        # unknown components degrade to the zero row
+        reps = []
+        for vec in _component_vectors(segment):
+            row = self._registry.lookup(vec)
+            reps.append(self._registry.reps[row if row is not None else self.zero_index])
+        return tuple(reps)
 
     def canonical_representation(
         self, representative: Tuple[str, ...]
     ) -> Tuple[Tuple[str, ...], np.ndarray]:
-        features = [self._representative_to_feature[rep] for rep in representative]
-        if self.unique_seg_feats.sum_diphthong and len(representative) > 1:
+        rows = self._matrix[[self._row_of_rep[rep] for rep in representative]]
+        if self.sum_diphthong and len(representative) > 1:
             assert self.multilingual_mode
-            representative = ("".join(representative),)
-            features = [
-                np.asarray(
-                    [fs[0] if len(set(fs)) == 1 else 0 for fs in zip(*features)]
-                )
-            ]
-        return representative, np.stack(features, axis=0)
+            return ("".join(representative),), _agreement_merge(rows)[None, :]
+        return representative, rows
+
+    # -- inverse: features -> segment --------------------------------------
 
     def find_segment(self, features: Tuple[int, ...]) -> str:
-        if features in self.fake_segments:
-            return self.fake_segments[features]
+        minted = self.fake_segments.get(features)
+        if minted is not None:
+            return minted
         if not any(features):
-            indices = [self.zero_index]
-        else:
-            masks = [
-                f2i[f]
-                for f2i, f in zip(self.feature_to_indices, features)
-                if f != 0
-            ]
-            indices = np.flatnonzero(np.logical_and.reduce(masks))
-        if len(indices) == 1:
-            return self.segments[indices[0]]
-        if len(indices) > 1:
-            indices = sorted(
-                indices.tolist() if hasattr(indices, "tolist") else indices,
-                key=lambda idx: np.sum(self.features[idx] == 0),
+            return self.segments[self.zero_index]
+        # a stored vector is compatible when every non-zero query dim is
+        # either matched exactly or unspecified (0) in the stored row
+        query = np.asarray(features, dtype=np.int64)
+        compatible = np.flatnonzero(
+            ((query == 0) | (self._matrix == query) | (self._matrix == 0)).all(axis=1)
+        )
+        if compatible.size == 0:
+            return self.fake_segments.setdefault(
+                features, str(len(self.fake_segments) + 1)
             )
-            return self.segments[indices[0]]
-        return self.fake_segments.setdefault(features, str(len(self.fake_segments) + 1))
+        # least-zeros wins; np.argmin keeps the first (stable tie-break)
+        zeros = (self._matrix[compatible] == 0).sum(axis=1)
+        return self.segments[compatible[np.argmin(zeros)]]

@@ -358,8 +358,9 @@ def test_grad_ttartic_full_parity(ref_gradtts, rng):
     from arttts_tpu.utils.torch_convert_acoustic import convert_grad_ttartic
 
     torch.manual_seed(3)
+    # full params_v6.py hyperparameters (n_heads=2 — params_v6.py:44)
     m = GradTTArtic(
-        26, 64, 192, 768, 256, 1, 6, 3, 0.1, 4, 16, 64, 0.05, 20.0, 1000
+        26, 64, 192, 768, 256, 2, 6, 3, 0.1, 4, 16, 64, 0.05, 20.0, 1000
     )
     m.eval()
     params = convert_grad_ttartic(m.state_dict())
