@@ -78,6 +78,16 @@ class BucketBatcher:
     mega_batch_mult follows the HF recipe used by the reference samplers:
     shuffle indices, split into mega-batches of batch_size*50, sort each by
     length descending, then move the globally longest batch first.
+
+    Multi-host semantics (num_hosts > 1): every host iterates the SAME
+    global batch sequence (identical seed/epoch -> identical order) and
+    yields its contiguous `batch_size / num_hosts` row slice of each global
+    batch. The host slices are the process-local rows that
+    `parallel.mesh.assemble_global_batch` stitches into one globally-sharded
+    array (`jax.make_array_from_process_local_data`) — NOT independent
+    batches per host (the round-1 scheme, which silently trained each host
+    on different data). Replaces the reference's rank slicing of one epoch
+    order (`src/balance_batch.py:144-151`).
     """
 
     def __init__(
@@ -98,6 +108,9 @@ class BucketBatcher:
         self.mega_batch_mult = mega_batch_mult or min(
             len(lengths) // (batch_size * 4), 50
         ) or 1
+        assert batch_size % num_hosts == 0, (
+            f"global batch_size {batch_size} must divide over {num_hosts} hosts"
+        )
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.drop_last = drop_last
@@ -131,17 +144,22 @@ class BucketBatcher:
                 range(len(batches)), key=lambda b: self.lengths[batches[b]].max()
             )
             batches[0], batches[longest] = batches[longest], batches[0]
-        # per-host sharding (multi-host DP): host h takes every num_hosts-th batch
-        for b in batches[self.host_id :: self.num_hosts]:
-            yield b
+        # multi-host DP: every host walks the same global batches and keeps
+        # its contiguous row slice (see class docstring)
+        rows = self.batch_size // self.num_hosts
+        lo, hi = self.host_id * rows, (self.host_id + 1) * rows
+        for b in batches:
+            if self.num_hosts == 1:
+                yield b
+            elif len(b) == self.batch_size:  # partial batches can't slice evenly
+                yield b[lo:hi]
 
     def __len__(self) -> int:
-        n_batches = (
+        return (
             len(self.lengths) // self.batch_size
             if self.drop_last
             else math.ceil(len(self.lengths) / self.batch_size)
         )
-        return math.ceil((n_batches - self.host_id) / self.num_hosts)
 
 
 class DataLoader:
@@ -163,11 +181,26 @@ class DataLoader:
         length_grouped: bool = True,
         prefetch: int = 2,
         language_upsample: Optional[float] = None,
+        text_bucket: Optional[int] = None,
+        frame_bucket: Optional[int] = None,
     ):
         """`language_upsample` enables temperature-based language upsampling
         (p ~ size^factor) for multilingual datasets exposing `lang_sizes`
-        (ref train_v6.py:100-125, upsample_factor=0.5)."""
+        (ref train_v6.py:100-125, upsample_factor=0.5).
+
+        Multi-host (num_hosts > 1) REQUIRES fixed `text_bucket`/`frame_bucket`
+        pad shapes: each host pads only its local rows, so data-dependent
+        bucket picks would disagree across hosts and deadlock the SPMD step."""
         self.dataset = dataset
+        if num_hosts > 1 and not (text_bucket and frame_bucket):
+            raise ValueError(
+                "multi-host DataLoader needs fixed text_bucket/frame_bucket "
+                "(e.g. config.data.max_text_len/max_frame_len)"
+            )
+        self._text_buckets = (text_bucket,) if text_bucket else DEFAULT_TEXT_BUCKETS
+        self._frame_buckets = (
+            (frame_bucket,) if frame_bucket else DEFAULT_FRAME_BUCKETS
+        )
         lengths = dataset.lengths() if length_grouped else np.zeros(len(dataset))
         self.batcher = BucketBatcher(
             lengths,
@@ -177,6 +210,9 @@ class DataLoader:
             host_id=host_id,
             num_hosts=num_hosts,
         )
+        self.batch_size = batch_size
+        self.host_id = host_id
+        self.num_hosts = num_hosts
         self.lang_sampler = None
         if language_upsample is not None:
             from arttts_tpu.voxcommunis.sampler import (
@@ -193,9 +229,6 @@ class DataLoader:
                 upsample_factor=language_upsample,
                 seed=seed,
             )
-            self.batch_size = batch_size
-            self.host_id = host_id
-            self.num_hosts = num_hosts
         self.min_frames = min_frames
         self.prefetch = prefetch
 
@@ -204,7 +237,12 @@ class DataLoader:
 
     def _make_batch(self, idx):
         items = [self.dataset[int(i)] for i in idx]
-        return pad_batch(items, min_frames=self.min_frames)
+        return pad_batch(
+            items,
+            text_buckets=self._text_buckets,
+            frame_buckets=self._frame_buckets,
+            min_frames=self.min_frames,
+        )
 
     def _index_batches(self):
         if self.lang_sampler is not None:
@@ -213,7 +251,11 @@ class DataLoader:
                 order[i : i + self.batch_size]
                 for i in range(0, len(order) - self.batch_size + 1, self.batch_size)
             ]
-            return batches[self.host_id :: self.num_hosts]
+            if self.num_hosts > 1:  # same global batches, per-host row slice
+                rows = self.batch_size // self.num_hosts
+                lo = self.host_id * rows
+                return [b[lo : lo + rows] for b in batches]
+            return batches
         return self.batcher
 
     def __iter__(self):

@@ -155,17 +155,25 @@ def maximum_path(
 
     value: (B, T_x, T_y) log-prior; mask: (B, T_x, T_y) 0/1.
     backend: "pallas" (TPU kernel) | "scan" (portable); auto-selected from
-    the active JAX backend when None.
+    the active JAX backend when None (env ARTTTS_MAS_BACKEND overrides, e.g.
+    to force the pallas path in interpret mode on a CPU mesh for multi-chip
+    dryruns). The pallas kernel carries a GSPMD batch-sharding rule, so it
+    partitions cleanly inside a mesh-sharded train step.
     """
+    import os
+
     value = value * mask
     t_xs = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
     t_ys = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)
     if backend is None:
-        backend = "scan" if jax.default_backend() == "cpu" else "pallas"
+        backend = os.environ.get("ARTTTS_MAS_BACKEND") or (
+            "scan" if jax.default_backend() == "cpu" else "pallas"
+        )
     if backend == "pallas":
         from arttts_tpu.ops.mas_pallas import mas_pallas
 
-        path = mas_pallas(value.astype(jnp.float32), t_xs, t_ys)
+        interpret = jax.default_backend() == "cpu"
+        path = mas_pallas(value.astype(jnp.float32), t_xs, t_ys, interpret=interpret)
     else:
         path = mas_scan(value.astype(jnp.float32), t_xs, t_ys)
     return path.astype(value.dtype)

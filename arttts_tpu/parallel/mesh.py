@@ -50,9 +50,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process only: the whole global batch must be addressable. For
+    multi-host, each process holds only its rows — use
+    `assemble_global_batch`."""
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def assemble_global_batch(mesh: Mesh, local_batch, num_hosts: Optional[int] = None):
+    """Stitch per-process row slices into one globally batch-sharded pytree.
+
+    Every process passes its `global_batch/num_hosts` local rows of the SAME
+    global batch (the BucketBatcher multi-host contract); JAX places them on
+    the process's addressable devices and records the global shape — no data
+    ever crosses hosts (`jax.make_array_from_process_local_data`). On a
+    single process this degenerates to `shard_batch`.
+    """
+    num_hosts = num_hosts if num_hosts is not None else jax.process_count()
+    if num_hosts <= 1:
+        return shard_batch(mesh, local_batch)
+    s = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * num_hosts,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, global_shape)
+
+    return jax.tree_util.tree_map(put, local_batch)
 
 
 def replicate(mesh: Mesh, tree):

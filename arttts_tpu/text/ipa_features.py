@@ -170,6 +170,19 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "ǃ": _cons(velaric=1, ant=-1, cor=1, distr=-1),
     "ǂ": _cons(velaric=1, ant=-1, cor=1, distr=1),
     "ǁ": _cons(velaric=1, lat=1, ant=1, cor=1, distr=-1),
+    # --- additional consonants (msml1h language sweep) ---------------------
+    "ɱ": _cons(son=1, nas=1, voi=1, lab=1, ant=1, strid=1),  # labiodental nasal
+    "ʀ": _cons(son=1, cont=1, voi=1, ant=-1, hi=-1, back=1),  # uvular trill
+    "ʝ": _cons(cont=1, strid=-1, voi=1, ant=-1, hi=1, back=-1),  # voiced palatal fric
+    "ɻ": _cons(son=1, cont=1, voi=1, ant=-1, cor=1, distr=-1, strid=-1),  # retroflex appr
+    "ʍ": _cons(son=1, cons=-1, cont=1, lab=1, round=1, hi=1, back=1),  # voiceless w
+    "t͡ɬ": _cons(delrel=1, lat=1, strid=-1, ant=1, cor=1, distr=-1),  # lateral affricate
+    "k͡p": _cons(ant=-1, lab=1, hi=1, back=1),  # labial-velar stop
+    "ɡ͡b": _cons(voi=1, ant=-1, lab=1, hi=1, back=1),
+    "g͡b": _cons(voi=1, ant=-1, lab=1, hi=1, back=1),
+    "p͡f": _cons(delrel=1, strid=1, lab=1, ant=1),  # German labiodental affricate
+    "c͡ç": _cons(delrel=1, strid=-1, ant=-1, hi=1, back=-1),
+    "ɟ͡ʝ": _cons(delrel=1, strid=-1, voi=1, ant=-1, hi=1, back=-1),
     # --- additional vowels -----------------------------------------------
     "ɶ": _vowel(-1, 1, -1, 1, -1),
     "ʏ": _vowel(1, -1, -1, 1, -1),
@@ -178,6 +191,8 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "ɞ": _vowel(-1, -1, 0, 1, -1),
     "ɪ̈": _vowel(1, -1, 0, -1, -1),
     "ə̯": _vowel(-1, -1, 0, -1, 0, syl=-1),  # non-syllabic schwa
+    "ɚ": _vowel(-1, -1, 0, -1, 0, cor=1),  # rhotacized schwa (== "ə˞")
+    "ɝ": _vowel(-1, -1, 0, -1, -1, cor=1),  # rhotacized open-mid central
     # --- tone letters (zh-CN and other tonal corpora): only the tonal
     # traits are marked; "˧" (mid) is the all-zero vector used as the
     # multilingual silence representative (voxcommunis/decoder.py).
@@ -192,16 +207,32 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
 _MODIFIERS = {
     "˞": {"cor": 1},        # rhotacization (ER/ER0 -> "ɜ˞"/"ə˞")
     "ː": {"long": 1},       # length
+    "ˑ": {"long": 1},       # half-long
     "̃": {"nas": 1},         # nasalization (combining tilde)
     "ʰ": {"sg": 1},         # aspiration
-    "̥": {"voi": -1},        # devoicing
+    "ʱ": {"sg": 1},         # breathy-voiced aspiration (Hindi/Marathi/...)
+    "̥": {"voi": -1},        # devoicing (combining ring below)
+    "̊": {"voi": -1},        # devoicing (combining ring above)
     "ʲ": {"hi": 1},         # palatalization
     "̩": {"syl": 1},         # syllabic consonant (MNGU0 m!/n!/l!)
     "ʷ": {"round": 1, "lab": 1},  # labialization
-    "ʼ": {"cg": 1},          # ejective
+    "ʼ": {"cg": 1},          # ejective (Georgian/Amharic/...)
     "̪": {"distr": 1},        # dental
+    "̺": {"distr": -1},       # apical
+    "̻": {"distr": 1},        # laminal
     "̠": {"ant": -1},         # retracted
+    "̟": {"ant": 1},          # advanced
     "̯": {"syl": -1},         # non-syllabic
+    "ˤ": {"lo": 1, "back": 1},  # pharyngealization (Arabic emphatics)
+    "̴": {"hi": 1, "back": 1},  # velarization
+    "̰": {"cg": 1},           # creaky voice (Vietnamese)
+    "̤": {"sg": 1},           # breathy voice
+    "ⁿ": {"nas": 1},          # prenasalization
+    "˺": {},                  # unreleased (no featural change)
+    "̆": {},                  # extra-short
+    "̝": {},                  # raised
+    "̞": {},                  # lowered
+    "ᵊ": {},                  # epenthetic schwa release
 }
 
 
@@ -235,7 +266,7 @@ def word_features(word: str) -> Optional[np.ndarray]:
     """
     rows: List[np.ndarray] = []
     i = 0
-    max_len = 4  # longest segment strings incl. tie bars / modifiers
+    max_len = 5  # longest segment strings incl. tie bars / modifiers
     while i < len(word):
         match = None
         for ln in range(min(max_len, len(word) - i), 0, -1):
@@ -245,6 +276,11 @@ def word_features(word: str) -> Optional[np.ndarray]:
                 i += ln
                 break
         if match is None:
+            # stray tie bar between segments not listed as a unit: treat the
+            # components independently (panphon parses arbitrary ligatures)
+            if word[i] == "͡":
+                i += 1
+                continue
             return None
         rows.append(match)
     if not rows:

@@ -28,7 +28,7 @@ from arttts_tpu.data.batching import DataLoader
 from arttts_tpu.infer.sampler import synthesize
 from arttts_tpu.models.tts import GradTTSModel
 from arttts_tpu.ops.shape import fix_len_compatibility
-from arttts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from arttts_tpu.parallel.mesh import assemble_global_batch, make_mesh, replicate
 from arttts_tpu.train.losses import loss_for_model
 from arttts_tpu.train.step import create_train_state, make_eval_step, make_train_step
 from arttts_tpu.utils.early_stopping import EarlyStopping
@@ -65,6 +65,7 @@ class Trainer:
                 self.tb = None
 
         t = config.train
+        self.num_hosts = num_hosts
         self.train_loader = DataLoader(
             train_dataset,
             batch_size=t.batch_size,
@@ -73,6 +74,9 @@ class Trainer:
             host_id=host_id,
             num_hosts=num_hosts,
             language_upsample=language_upsample,
+            # multi-host: fixed pad shapes so every host agrees (batching.py)
+            text_bucket=config.data.max_text_len if num_hosts > 1 else None,
+            frame_bucket=config.data.max_frame_len if num_hosts > 1 else None,
         )
         self.valid_loader = (
             DataLoader(
@@ -155,7 +159,7 @@ class Trainer:
         for batch in self.train_loader:
             key, self.rng = jax.random.split(self.rng)
             if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
+                batch = assemble_global_batch(self.mesh, batch, self.num_hosts)
             else:
                 batch = jax.tree_util.tree_map(jnp.asarray, batch)
             self.state, metrics = self.train_step(self.state, key, batch)

@@ -26,38 +26,69 @@ ALIGNMENT_FREQ = 100  # Hz
 MODEL_FREQ = 50  # Hz
 SUBSAMPLE = ALIGNMENT_FREQ // MODEL_FREQ
 
-# CommonVoice language code -> English name (subset of the reference's map;
-# extend as corpora are added).
+# CommonVoice language code -> English name: the full 210-code map the
+# reference ships (src/voxcommunis/data.py:17-223) — a factual constant.
 LANGUAGES: Dict[str, str] = {
-    "ab": "Abkhaz", "af": "Afrikaans", "am": "Amharic", "ar": "Arabic",
-    "as": "Assamese", "az": "Azerbaijani", "ba": "Bashkir", "bas": "Basaa",
-    "be": "Belarusian", "bg": "Bulgarian", "bn": "Bengali", "br": "Breton",
-    "ca": "Catalan", "ckb": "Central Kurdish", "cnh": "Hakha Chin",
-    "cs": "Czech", "cv": "Chuvash", "cy": "Welsh", "da": "Danish",
-    "de": "German", "dv": "Dhivehi", "el": "Greek", "en": "English",
+    "ab": "Abkhaz", "ace": "Acehnese", "ady": "Adyghe", "af": "Afrikaans",
+    "am": "Amharic", "an": "Aragonese", "ar": "Arabic", "arn": "Mapudungun",
+    "as": "Assamese", "ast": "Asturian", "az": "Azerbaijani", "ba": "Bashkir",
+    "bas": "Basaa", "be": "Belarusian", "bg": "Bulgarian", "bm": "Bambara",
+    "bn": "Bengali", "bo": "Tibetan", "br": "Breton", "bs": "Bosnian",
+    "bxr": "Buryat", "byv": "Medumba", "ca": "Catalan", "cak": "Kaqchikel",
+    "ckb": "Central Kurdish", "cnh": "Hakha Chin", "co": "Corsican",
+    "crh": "Crimean Tatar", "cs": "Czech", "cv": "Chuvash", "cy": "Welsh",
+    "da": "Danish", "dag": "Dagbani", "de": "German", "dsb": "Sorbian, Lower",
+    "dv": "Dhivehi", "dyu": "Dioula", "el": "Greek", "en": "English",
     "eo": "Esperanto", "es": "Spanish", "et": "Estonian", "eu": "Basque",
-    "fa": "Persian", "fi": "Finnish", "fr": "French", "fy-NL": "Frisian",
-    "ga-IE": "Irish", "gl": "Galician", "gn": "Guarani", "ha": "Hausa",
-    "he": "Hebrew", "hi": "Hindi", "hsb": "Sorbian, Upper", "hu": "Hungarian",
-    "hy-AM": "Armenian", "ia": "Interlingua", "id": "Indonesian",
-    "ig": "Igbo", "it": "Italian", "ja": "Japanese", "ka": "Georgian",
-    "kab": "Kabyle", "kk": "Kazakh", "kmr": "Kurmanji Kurdish",
-    "ko": "Korean", "ky": "Kyrgyz", "lg": "Luganda", "lt": "Lithuanian",
-    "lv": "Latvian", "mdf": "Moksha", "mhr": "Meadow Mari", "mk": "Macedonian",
-    "ml": "Malayalam", "mn": "Mongolian", "mr": "Marathi", "mrj": "Hill Mari",
-    "mt": "Maltese", "myv": "Erzya", "nan-tw": "Taiwanese (Minnan)",
-    "nl": "Dutch", "nn-NO": "Norwegian Nynorsk", "or": "Odia",
-    "pa-IN": "Punjabi", "pl": "Polish", "pt": "Portuguese",
+    "ewo": "Ewondo", "fa": "Persian", "ff": "Fulah", "fi": "Finnish",
+    "fo": "Faroese", "fr": "French", "fuf": "Pular Guinea",
+    "fy-NL": "Frisian", "ga-IE": "Irish", "gl": "Galician", "gn": "Guarani",
+    "gom": "Goan Konkani", "gu-IN": "Gujarati", "guc": "Wayuunaiki",
+    "ha": "Hausa", "he": "Hebrew", "hi": "Hindi", "hil": "Hiligaynon",
+    "hr": "Croatian", "hsb": "Sorbian, Upper", "ht": "Haitian",
+    "hu": "Hungarian", "hy-AM": "Armenian", "hyw": "Armenian Western",
+    "ia": "Interlingua", "id": "Indonesian", "ie": "Interlingue",
+    "ig": "Igbo", "is": "Icelandic", "it": "Italian", "izh": "Izhorian",
+    "ja": "Japanese", "jbo": "Lojban", "jv": "Javanese", "ka": "Georgian",
+    "kaa": "Karakalpak", "kab": "Kabyle", "kbd": "Kabardian", "ki": "Kikuyu",
+    "kk": "Kazakh", "km": "Khmer", "kmr": "Kurmanji Kurdish", "kn": "Kannada",
+    "knn": "Konkani (Devanagari)", "ko": "Korean", "kpv": "Komi-Zyrian",
+    "kw": "Cornish", "ky": "Kyrgyz", "lb": "Luxembourgish", "lg": "Luganda",
+    "lij": "Ligurian", "ln": "Lingala", "lo": "Lao", "lt": "Lithuanian",
+    "ltg": "Latgalian", "lv": "Latvian", "lzz": "Laz", "mai": "Maithili",
+    "mdf": "Moksha", "mg": "Malagasy", "mhr": "Meadow Mari",
+    "mk": "Macedonian", "ml": "Malayalam", "mn": "Mongolian",
+    "mni": "Meetei Lon", "mos": "Mossi", "mr": "Marathi", "mrj": "Hill Mari",
+    "ms": "Malay", "mt": "Maltese", "my": "Burmese", "myv": "Erzya",
+    "nan-tw": "Taiwanese (Minnan)", "nb-NO": "Norwegian Bokmål",
+    "nd": "IsiNdebele (North)", "ne-NP": "Nepali",
+    "nhe": "Eastern Huasteca Nahuatl",
+    "nhi": "Western Sierra Puebla Nahuatl", "nia": "Nias", "nl": "Dutch",
+    "nn-NO": "Norwegian Nynorsk", "nr": "IsiNdebele (South)",
+    "nso": "Northern Sotho", "ny": "Chinyanja", "nyn": "Runyankole",
+    "oc": "Occitan", "om": "Afaan Oromo", "or": "Odia", "os": "Ossetian",
+    "pa-IN": "Punjabi", "pap-AW": "Papiamento (Aruba)", "pl": "Polish",
+    "ps": "Pashto", "pt": "Portuguese", "quc": "K'iche'",
+    "quy": "Quechua Chanka", "qvi": "Kichwa",
     "rm-sursilv": "Romansh Sursilvan", "rm-vallader": "Romansh Vallader",
     "ro": "Romanian", "ru": "Russian", "rw": "Kinyarwanda", "sah": "Sakha",
-    "sat": "Santali", "sc": "Sardinian", "sk": "Slovak", "skr": "Saraiki",
-    "sl": "Slovenian", "sr": "Serbian", "sv-SE": "Swedish", "sw": "Swahili",
-    "ta": "Tamil", "th": "Thai", "ti": "Tigrinya", "tig": "Tigre",
-    "tok": "Toki Pona", "tr": "Turkish", "tt": "Tatar", "tw": "Twi",
-    "ug": "Uyghur", "uk": "Ukrainian", "ur": "Urdu", "uz": "Uzbek",
-    "vi": "Vietnamese", "vot": "Votic", "yue": "Cantonese",
-    "zh-CN": "Chinese (China)", "zh-HK": "Chinese (Hong Kong)",
-    "zh-TW": "Chinese (Taiwan)",
+    "sat": "Santali (Ol Chiki)", "sc": "Sardinian", "scn": "Sicilian",
+    "sco": "Scots", "sd": "Sindhi", "sdh": "Southern Kurdish",
+    "shi": "Shilha", "si": "Sinhala", "sk": "Slovak", "skr": "Saraiki",
+    "sl": "Slovenian", "snk": "Soninke", "so": "Somali", "sq": "Albanian",
+    "sr": "Serbian", "ss": "Siswati", "st": "Southern Sotho",
+    "sv-SE": "Swedish", "sw": "Swahili", "syr": "Syriac", "ta": "Tamil",
+    "te": "Telugu", "tg": "Tajik", "th": "Thai", "ti": "Tigrinya",
+    "tig": "Tigre", "tk": "Turkmen", "tl": "Tagalog", "tn": "Setswana",
+    "tok": "Toki Pona", "tr": "Turkish", "ts": "Xitsonga", "tt": "Tatar",
+    "tw": "Twi", "ty": "Tahitian", "tyv": "Tuvan", "uby": "Ubykh",
+    "udm": "Udmurt", "ug": "Uyghur", "uk": "Ukrainian", "ur": "Urdu",
+    "uz": "Uzbek", "ve": "Tshivenda", "vec": "Venetian", "vi": "Vietnamese",
+    "vmw": "Emakhuwa", "vot": "Votic", "wep": "Westphalian", "wo": "Wolof",
+    "xh": "Xhosa", "yi": "Yiddish", "yo": "Yoruba", "yue": "Cantonese",
+    "zgh": "Tamazight", "zh-CN": "Chinese (China)",
+    "zh-HK": "Chinese (Hong Kong)", "zh-TW": "Chinese (Taiwan)", "zu": "Zulu",
+    "zza": "Zaza",
 }
 
 

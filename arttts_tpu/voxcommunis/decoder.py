@@ -158,6 +158,20 @@ class FeatureDecoder:
 
     # -- forward: segment -> representative -> features -------------------
 
+    def _register_dynamic(self, name: str, vector: np.ndarray) -> int:
+        """Grow the multilingual inventory for a parseable segment whose
+        vector is not yet registered (e.g. diacritic-modified phones —
+        panphon pre-composes thousands of these; our trait table composes
+        them on demand)."""
+        row = self._registry.put(name, vector)
+        self._matrix = np.concatenate(
+            [self._matrix, vector[None].astype(np.int64)], axis=0
+        )
+        self._row_of_rep[name] = row
+        self.__dict__.pop("segments", None)  # invalidate cached views
+        self.segment_id.cache_clear()
+        return row
+
     def segment_to_representative(self, segment: str) -> Tuple[str, ...]:
         if segment == SILENCE:
             return (self.segments[self.zero_index],)
@@ -168,12 +182,21 @@ class FeatureDecoder:
             raise KeyError(
                 f"Unable to find segment {segment!r} in the language inventory."
             )
-        # unseen multilingual segment: resolve each component by vector,
-        # unknown components degrade to the zero row
+        # unseen multilingual segment: resolve each component by vector;
+        # parseable-but-unregistered vectors extend the inventory in place,
+        # truly unknown segments (zero rows from the parse fallback) degrade
+        # to the silence representative
+        vectors = _component_vectors(segment)
         reps = []
-        for vec in _component_vectors(segment):
+        for i, vec in enumerate(vectors):
             row = self._registry.lookup(vec)
-            reps.append(self._registry.reps[row if row is not None else self.zero_index])
+            if row is None:
+                name = segment if len(vectors) == 1 else f"{segment}[{i}]"
+                row = self._register_dynamic(name, vec)
+            reps.append(self._registry.reps[row])
+        self._rows_of_segment[segment] = tuple(
+            self._row_of_rep[r] for r in reps
+        )
         return tuple(reps)
 
     def canonical_representation(

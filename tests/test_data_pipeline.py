@@ -134,10 +134,55 @@ def test_bucket_batcher_properties():
     assert len(np.unique(seen)) == len(seen)
     # first batch contains the longest item of all emitted batches
     assert lengths[batches[0]].max() == max(lengths[x].max() for x in batches)
-    # host sharding partitions batches
+    # multi-host: every host sees the SAME global batches, split row-wise —
+    # concatenating the per-host slices reconstructs each global batch
     b0 = list(BucketBatcher(lengths, 8, seed=0, host_id=0, num_hosts=2))
     b1 = list(BucketBatcher(lengths, 8, seed=0, host_id=1, num_hosts=2))
-    assert len(b0) + len(b1) == len(batches)
+    assert len(b0) == len(b1) == len(batches)
+    for g, h0, h1 in zip(batches, b0, b1):
+        assert len(h0) == len(h1) == 4
+        np.testing.assert_array_equal(np.concatenate([h0, h1]), g)
+
+
+def test_multihost_loader_reconstructs_global_batch(corpus):
+    """Per-host loaders (fixed pad shapes) emit row slices whose
+    concatenation equals the single-host batch — the data-side contract of
+    `assemble_global_batch` (jax.make_array_from_process_local_data)."""
+    root, filelist = corpus
+    ds = TextMelDataset(filelist, CMU_PATH, data_root_dir=str(root), shuffle=False)
+    kw = dict(batch_size=2, min_frames=104, text_bucket=256, frame_bucket=512,
+              shuffle=False, prefetch=0)
+    global_batches = list(DataLoader(ds, **kw))
+    host_batches = [
+        list(DataLoader(ds, host_id=h, num_hosts=2, **kw)) for h in range(2)
+    ]
+    assert len(host_batches[0]) == len(global_batches)
+    for i, g in enumerate(global_batches):
+        for key in ("x", "y", "x_lengths", "y_lengths"):
+            stitched = np.concatenate(
+                [host_batches[0][i][key], host_batches[1][i][key]], axis=0
+            )
+            np.testing.assert_array_equal(stitched, g[key])
+        assert host_batches[0][i]["x"].shape[1] == 256  # fixed buckets agree
+        assert host_batches[0][i]["y"].shape[1] == 512
+
+
+def test_multihost_loader_requires_fixed_buckets():
+    with pytest.raises(ValueError):
+        DataLoader([], batch_size=2, num_hosts=2)
+
+
+def test_assemble_global_batch_single_process():
+    import jax
+
+    from arttts_tpu.parallel.mesh import assemble_global_batch, make_mesh
+
+    mesh = make_mesh()
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    out = assemble_global_batch(mesh, batch)  # degenerates to shard_batch
+    assert out["x"].shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert len(out["x"].sharding.device_set) == jax.device_count()
 
 
 def test_dataloader_end_to_end(corpus):

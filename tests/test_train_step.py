@@ -86,6 +86,31 @@ def test_train_step_data_parallel_mesh():
     np.testing.assert_allclose(np.asarray(l_mesh), np.asarray(l_1), atol=1e-5)
 
 
+def test_train_step_mesh_pallas_mas(monkeypatch):
+    """The exact multi-chip code path real TPU hardware takes: pallas MAS
+    (interpret mode on CPU) under the GSPMD-sharded train step, partitioned
+    by the kernel's custom_partitioning batch rule."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = tiny_config()
+    rng_np = np.random.default_rng(5)
+    model, variables, batch = _init(cfg, rng_np, B=8)
+    mesh = make_mesh(n_data=8)
+
+    state = replicate(mesh, create_train_state(model, variables, 1e-4))
+    sharded = shard_batch(mesh, batch)
+
+    monkeypatch.setenv("ARTTTS_MAS_BACKEND", "pallas")
+    step = make_train_step(model, out_size=16, mesh=mesh, donate=False)
+    _, metrics_p = step(state, jax.random.PRNGKey(1), sharded)
+    monkeypatch.delenv("ARTTTS_MAS_BACKEND")
+
+    step_scan = make_train_step(model, out_size=16, mesh=mesh, donate=False)
+    _, metrics_s = step_scan(state, jax.random.PRNGKey(1), sharded)
+    np.testing.assert_allclose(
+        float(metrics_p["total_loss"]), float(metrics_s["total_loss"]), rtol=1e-5
+    )
+
+
 def test_eval_step(rng):
     cfg = tiny_config()
     model, variables, batch = _init(cfg, rng, B=2)
