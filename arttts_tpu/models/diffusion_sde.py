@@ -21,9 +21,13 @@ def get_noise(t, beta_min: float, beta_max: float, cumulative: bool = False):
     return beta_min + (beta_max - beta_min) * t
 
 
-def forward_diffusion(rng, x0, mask, mu, t, beta_min: float, beta_max: float):
+def forward_diffusion(rng, x0, mask, mu, t, beta_min: float, beta_max: float,
+                      z=None):
     """Closed-form q(x_t | x_0): mean decays x0 toward mu, variance
     1 - exp(-cum_noise) (diffusion.py:287-300).
+
+    `z` overrides the Gaussian draw (convergence-parity tests pin it to the
+    reference's draw); `rng` may then be None.
 
     Returns (xt, z) both masked, shapes like x0.
     """
@@ -31,7 +35,8 @@ def forward_diffusion(rng, x0, mask, mu, t, beta_min: float, beta_max: float):
     cum_noise = get_noise(time, beta_min, beta_max, cumulative=True)
     mean = x0 * jnp.exp(-0.5 * cum_noise) + mu * (1.0 - jnp.exp(-0.5 * cum_noise))
     variance = 1.0 - jnp.exp(-cum_noise)
-    z = jax.random.normal(rng, x0.shape, x0.dtype)
+    if z is None:
+        z = jax.random.normal(rng, x0.shape, x0.dtype)
     xt = mean + z * jnp.sqrt(variance)
     return xt * mask, z * mask
 

@@ -44,17 +44,22 @@ def mas_log_prior(mu_x, y, x_mask, y_mask):
     return log_prior, attn_mask
 
 
-def cut_segments(rng, y, attn, y_lengths, out_size: int):
+def cut_segments(rng, y, attn, y_lengths, out_size: int, offsets=None):
     """Random fixed-size decoder segments (tts.py:224-264).
 
     y: (B, T_y, C); attn: (B, T_x, T_y). T_y must be >= out_size (the data
-    layer pads batches accordingly). Returns (y_cut, attn_cut, y_cut_mask).
+    layer pads batches accordingly). `offsets` overrides the random draw
+    (convergence-parity tests pin it; `rng` may then be None).
+    Returns (y_cut, attn_cut, y_cut_mask).
     """
     B, T_y, _ = y.shape
     max_offset = jnp.maximum(y_lengths - out_size, 0)  # (B,)
-    u = jax.random.uniform(rng, (B,))
-    # uniform int in [0, max_offset); 0 when max_offset == 0
-    offsets = jnp.floor(u * max_offset.astype(u.dtype)).astype(jnp.int32)
+    if offsets is None:
+        u = jax.random.uniform(rng, (B,))
+        # uniform int in [0, max_offset); 0 when max_offset == 0
+        offsets = jnp.floor(u * max_offset.astype(u.dtype)).astype(jnp.int32)
+    else:
+        offsets = jnp.asarray(offsets, jnp.int32)
 
     def cut_one(y_b, attn_b, off):
         y_c = jax.lax.dynamic_slice_in_dim(y_b, off, out_size, axis=0)
@@ -85,10 +90,20 @@ def grad_tts_loss(
     durations=None,  # unused; uniform signature with grad_ttartic_loss
     out_size: Optional[int] = None,
     train: bool = True,
+    pinned=None,
 ):
     """Full three-part loss: (dur, prior, diff) like tts.py:167-280.
 
+    `pinned` is an optional `(t, z, offsets)` triple overriding the three
+    stochastic draws (diffusion time, diffusion noise, segment offsets) —
+    used by the convergence-parity study to feed both frameworks the exact
+    same randomness (tts.py:226-235 `random.choice`, diffusion.py `torch.rand`
+    / `torch.randn`).
+
     Returns (total, dict of parts)."""
+    t_pin = z_pin = off_pin = None
+    if pinned is not None:
+        t_pin, z_pin, off_pin = pinned
     rng_drop, rng_t, rng_z, rng_seg = jax.random.split(rng, 4)
     n_feats = model.config.n_feats
     dec = model.config.decoder
@@ -118,7 +133,9 @@ def grad_tts_loss(
 
     # --- segment cut ------------------------------------------------------
     if out_size is not None:
-        y_seg, attn_seg, y_seg_mask = cut_segments(rng_seg, y, attn, y_lengths, out_size)
+        y_seg, attn_seg, y_seg_mask = cut_segments(
+            rng_seg, y, attn, y_lengths, out_size, offsets=off_pin
+        )
     else:
         y_seg, attn_seg, y_seg_mask = y, attn, y_mask
 
@@ -126,9 +143,9 @@ def grad_tts_loss(
     mu_y = jnp.einsum("bij,bic->bjc", attn_seg, mu_x)  # (B, T_seg, C)
 
     # --- diffusion loss ---------------------------------------------------
-    t = sample_t(rng_t, y.shape[0], dtype=mu_x.dtype)
+    t = sample_t(rng_t, y.shape[0], dtype=mu_x.dtype) if t_pin is None else t_pin
     xt, z = forward_diffusion(
-        rng_z, y_seg, y_seg_mask, mu_y, t, dec.beta_min, dec.beta_max
+        rng_z, y_seg, y_seg_mask, mu_y, t, dec.beta_min, dec.beta_max, z=z_pin
     )
     noise_est = model.apply(
         variables,
@@ -161,12 +178,16 @@ def grad_ttartic_loss(
     durations=None,
     out_size: Optional[int] = None,
     train: bool = True,
+    pinned=None,
 ):
     """Aligned-input multi-speaker loss (model_ms/tts.py:169-262): durations
     come from forced alignments (input channel 26), so there is no MAS and no
-    duration loss — only (prior, diff)."""
+    duration loss — only (prior, diff). `pinned` as in `grad_tts_loss`."""
     from arttts_tpu.ops.shape import generate_path
 
+    t_pin = z_pin = off_pin = None
+    if pinned is not None:
+        t_pin, z_pin, off_pin = pinned
     rng_drop, rng_t, rng_z, rng_seg = jax.random.split(rng, 4)
     n_feats = model.config.n_feats
     dec = model.config.decoder
@@ -187,15 +208,17 @@ def grad_ttartic_loss(
     attn = generate_path(durations, attn_mask)
 
     if out_size is not None:
-        y_seg, attn_seg, y_seg_mask = cut_segments(rng_seg, y, attn, y_lengths, out_size)
+        y_seg, attn_seg, y_seg_mask = cut_segments(
+            rng_seg, y, attn, y_lengths, out_size, offsets=off_pin
+        )
     else:
         y_seg, attn_seg, y_seg_mask = y, attn, y_mask
 
     mu_y = jnp.einsum("bij,bic->bjc", attn_seg, mu_x)
 
-    t = sample_t(rng_t, y.shape[0], dtype=mu_x.dtype)
+    t = sample_t(rng_t, y.shape[0], dtype=mu_x.dtype) if t_pin is None else t_pin
     xt, z = forward_diffusion(
-        rng_z, y_seg, y_seg_mask, mu_y, t, dec.beta_min, dec.beta_max
+        rng_z, y_seg, y_seg_mask, mu_y, t, dec.beta_min, dec.beta_max, z=z_pin
     )
     noise_est = model.apply(
         variables, xt, y_seg_mask, mu_y, t, spk, method="estimate_noise"

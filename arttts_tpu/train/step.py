@@ -88,9 +88,18 @@ def make_train_step(
     donate: bool = True,
 ):
     """Build a jitted train step. With a mesh, inputs are annotated so the
-    batch shards over "data" and the state replicates (GSPMD DP)."""
+    batch shards over "data" and the state replicates (GSPMD DP).
+
+    If the batch carries `pinned_t` / `pinned_z` / `pinned_offsets`, the
+    loss's stochastic draws are overridden by them (convergence-parity study
+    vs the torch reference, which pins the same values via monkeypatched
+    `torch.rand`/`torch.randn`/`random.choice`)."""
 
     def step_fn(state: TrainState, rng, batch):
+        pinned = None
+        if "pinned_t" in batch:
+            pinned = (batch["pinned_t"], batch["pinned_z"], batch["pinned_offsets"])
+
         def loss_of(params):
             total, parts = loss_fn(
                 model,
@@ -104,6 +113,7 @@ def make_train_step(
                 durations=batch.get("durations"),
                 out_size=out_size,
                 train=True,
+                pinned=pinned,
             )
             return total, parts
 

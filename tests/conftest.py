@@ -22,6 +22,33 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Pre-seed the reference's Cython MAS package with a working stub BEFORE any
+# test imports /root/reference/src code. Several test modules import reference
+# modules (model families, configs) in different orders; whichever goes first
+# binds `model.monotonic_align` inside the reference's `model.tts`, so the
+# entry must already be the full stub — a late or empty stub breaks
+# whichever reference-parity test runs second (AttributeError: maximum_path).
+import sys as _sys
+import types as _types
+
+if "model.monotonic_align" not in _sys.modules:
+    _stub = _types.ModuleType("model.monotonic_align")
+
+    def _stub_maximum_path(value, mask):
+        import torch
+
+        from arttts_tpu.ops.mas import mas_reference_numpy
+
+        v = (value * mask).detach().cpu().numpy().astype(np.float32)
+        m = mask.detach().cpu().numpy()
+        t_xs = m.sum(1)[:, 0].astype(np.int32)
+        t_ys = m.sum(2)[:, 0].astype(np.int32)
+        path = mas_reference_numpy(v, t_xs, t_ys)
+        return torch.from_numpy(path).to(dtype=value.dtype)
+
+    _stub.maximum_path = _stub_maximum_path
+    _sys.modules["model.monotonic_align"] = _stub
+
 
 @pytest.fixture
 def rng():
