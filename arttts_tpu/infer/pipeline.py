@@ -162,9 +162,17 @@ def run_acoustic_inference(
         if durations is not None:
             pred_frames = int(np.ceil(np.asarray(durations).sum()))
         else:
+            # run the cheap duration-only encoder pass to size the bucket
+            # precisely (one encode vs 50 diffusion steps) — a fixed
+            # 16*T_x bound can overshoot into a 2x-too-large bucket and
+            # silently double decoder cost
+            pf = predict_frames(
+                model, variables, jnp.asarray(x), x_lengths, spk
+            )
             pred_frames = min(
-                max_frames_cap, max(64, 16 * x.shape[1])
-            )  # loose upper bound; masked anyway
+                max_frames_cap,
+                max(64, int(np.ceil(float(np.asarray(pf)[0]) * length_scale - 1e-6))),
+            )
         max_frames = frame_bucket(min(fix_len_compatibility(pred_frames), max_frames_cap))
         enc, dec, attn, y_len = synthesize(
             model,

@@ -191,8 +191,12 @@ def synthesize_to_wav(
     return wav, y_lengths
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
 def predict_lengths(model, variables, x, x_lengths, spk=None):
-    """Duration-only forward (tts.py:282-316): returns w = exp(logw) * mask."""
+    """Duration-only forward (tts.py:282-316): returns w = exp(logw) * mask.
+
+    Jitted (model static): the serving path calls this per sentence to size
+    the decoder bucket from the *actual* predicted length."""
     _, logw, x_mask = model.apply(variables, x, x_lengths, spk, method="encode")
     return jnp.exp(logw) * x_mask
 

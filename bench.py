@@ -1,11 +1,19 @@
 """Benchmark: end-to-end text->waveform RTF on the current JAX backend.
 
-Measures the reference's headline protocol (BASELINE.md): flagship GradTTS
-v2-scale text->mel (50 reverse-diffusion Euler steps, temperature 1.0, batch
-1 — ref `arttts_inference.py:332-348,227-231`) chained into HiFi-GAN mel
-vocoding (`vocoder_inference.py`), generating a full 8.9 s utterance
-(durations pinned so the decoder fills its 768-frame bucket — i.e. compute
-and audio length agree). Prints ONE JSON line.
+Primary metric (one JSON line, driver contract): the reference's headline
+protocol (BASELINE.md) — flagship GradTTS v2-scale text->mel (50 reverse-
+diffusion Euler steps, temperature 1.0, batch 1 — ref
+`arttts_inference.py:332-348,227-231`) chained into HiFi-GAN mel vocoding
+(`vocoder_inference.py`), generating a full 8.9 s utterance (durations pinned
+so the decoder fills its 768-frame bucket — compute and audio length agree).
+
+The same JSON line carries an `extras` object with:
+  - `serving_rtf`: the REAL serving path — duration prediction -> bucket
+    pick (`infer/sampler.py:frame_bucket`) -> synthesis at that bucket;
+  - `batched_rtf_per_utt`: batch-8 serving (one dispatch, 8 utterances);
+  - `mfu` / `hbm_util`: achieved FLOP/s and bytes/s from XLA's
+    cost_analysis of the compiled program vs v5e peaks (197 Tbf16FLOP/s,
+    819 GB/s) — says whether "fast" is compute- or bandwidth-bound.
 
 Timing notes: `block_until_ready` does not synchronize through remote-device
 tunnels, so iteration cost is measured differentially — time(N2 runs +
@@ -23,12 +31,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU (f32 convs multiply in bf16 on v5e)
+V5E_PEAK_HBM = 819e9  # bytes/s
+
+
+def differential_time(run, base_key, n_small=2, n_large=12, repeats=2):
+    """Per-iteration seconds via fetch-fenced differential timing."""
+
+    def timed(n):
+        keys = [jax.random.fold_in(base_key, i) for i in range(n)]
+        float(jnp.sum(keys[-1]))  # fence queue
+        t0 = time.perf_counter()
+        out = None
+        for k in keys:
+            out = run(k)
+        float(jnp.sum(out[0]))
+        return time.perf_counter() - t0, out
+
+    timed(n_small)  # warm
+    t1, _ = min((timed(n_small) for _ in range(repeats)), key=lambda p: p[0])
+    t2, out = min((timed(n_large) for _ in range(repeats)), key=lambda p: p[0])
+    return (t2 - t1) / (n_large - n_small), out
+
 
 def main():
     from arttts_tpu.core.config import get_preset
-    from arttts_tpu.infer.sampler import synthesize_to_wav
+    from arttts_tpu.infer.sampler import (
+        frame_bucket, predict_lengths, synthesize_to_wav,
+    )
     from arttts_tpu.models.hifigan import HiFiGANGenerator
     from arttts_tpu.models.tts import GradTTSModel
+    from arttts_tpu.ops.shape import fix_len_compatibility
 
     cfg = get_preset("v2")
     model = GradTTSModel(config=cfg.model)
@@ -61,6 +94,7 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
     )
 
+    # ---------------- scenario 1: headline pinned-duration RTF -------------
     def run(k):
         # the full serving path is ONE jitted program (one device dispatch)
         return synthesize_to_wav(
@@ -71,24 +105,78 @@ def main():
     base_key = jax.random.PRNGKey(1)
     out = run(base_key)
     float(jnp.sum(out[0]))  # compile + full device sync
-
-    def timed(n):
-        keys = [jax.random.fold_in(base_key, i) for i in range(n)]
-        float(jnp.sum(keys[-1]))
-        t0 = time.perf_counter()
-        for k in keys:
-            out = run(k)
-        float(jnp.sum(out[0]))
-        return time.perf_counter() - t0, out
-
-    timed(2)  # warm
-    t1, _ = min((timed(2) for _ in range(2)), key=lambda p: p[0])
-    t2, out = min((timed(12) for _ in range(2)), key=lambda p: p[0])
-    elapsed = (t2 - t1) / 10
-
+    elapsed, out = differential_time(run, base_key)
     frames = int(np.asarray(out[1]).max())
     audio_seconds = frames * 256 / 22050.0
     rtf = elapsed / audio_seconds
+
+    extras = {}
+
+    # ---------------- MFU / HBM utilization (scenario-1 program) -----------
+    try:
+        lowered = jax.jit(
+            synthesize_to_wav,
+            static_argnames=("model", "vocoder", "n_timesteps", "max_frames",
+                             "stoc"),
+        ).lower(
+            model, variables, vocoder, voc_vars, base_key, x, x_lengths,
+            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=durations,
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if flops > 0:
+            extras["mfu"] = round(flops / elapsed / V5E_PEAK_FLOPS, 4)
+            extras["tflops_achieved"] = round(flops / elapsed / 1e12, 2)
+        if bytes_acc > 0:
+            extras["hbm_util"] = round(bytes_acc / elapsed / V5E_PEAK_HBM, 4)
+            extras["hbm_gbs"] = round(bytes_acc / elapsed / 1e9, 1)
+    except Exception:
+        pass  # cost_analysis is advisory; never fail the bench on it
+
+    # ---------------- scenario 2: predicted-duration serving path ----------
+    # duration prediction -> static bucket -> synthesis (the path a real
+    # request takes; random weights predict short utterances, so this times
+    # the small-bucket path + the extra encoder pass)
+    w = predict_lengths(model, variables, x, x_lengths)
+    pred = int(np.ceil(float(jnp.sum(jnp.ceil(w)))))
+    bucket = frame_bucket(fix_len_compatibility(pred))
+
+    def run_serving(k):
+        predict_lengths(model, variables, x, x_lengths)  # real path re-runs it
+        return synthesize_to_wav(
+            model, variables, vocoder, voc_vars, k, x, x_lengths,
+            n_timesteps=N_STEPS, max_frames=bucket,
+        )
+
+    out_s = run_serving(base_key)
+    float(jnp.sum(out_s[0]))
+    elapsed_s, out_s = differential_time(run_serving, base_key, repeats=1)
+    frames_s = max(int(np.asarray(out_s[1]).max()), 1)
+    extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
+    extras["serving_bucket"] = bucket
+    extras["serving_frames"] = frames_s
+
+    # ---------------- scenario 3: batched serving (B=8) --------------------
+    B8 = 8
+    x8 = jnp.tile(x, (B8, 1))
+    xl8 = jnp.tile(x_lengths, (B8,))
+    dur8 = jnp.tile(durations, (B8, 1))
+
+    def run_b8(k):
+        return synthesize_to_wav(
+            model, variables, vocoder, voc_vars, k, x8, xl8,
+            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=dur8,
+        )
+
+    out8 = run_b8(base_key)
+    float(jnp.sum(out8[0]))
+    elapsed8, out8 = differential_time(run_b8, base_key, n_large=6, repeats=1)
+    audio8 = B8 * frames * 256 / 22050.0
+    extras["batched_rtf_per_utt"] = round(elapsed8 / audio8, 5)
+    extras["batched_speedup"] = round(rtf / (elapsed8 / audio8), 2)
 
     target = 0.02
     print(
@@ -98,6 +186,7 @@ def main():
                 "value": round(rtf, 5),
                 "unit": "rtf_per_chip",
                 "vs_baseline": round(target / rtf, 3),
+                "extras": extras,
             }
         )
     )
