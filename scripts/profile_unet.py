@@ -9,7 +9,11 @@ the HBM-roofline claim in CLAUDE.md and to find the next fusion target.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
