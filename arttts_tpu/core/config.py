@@ -63,6 +63,10 @@ class DecoderConfig:
     attn_dim_head: int = 32
     preblock_kernel: int = 9  # for "unet1d_preblock" (diffusion_1D_preblock.py:69-84)
     masked_norm: bool = False  # padding-exact GroupNorm stats (batched inference)
+    # U-Net activation dtype ("float32" | "bfloat16"). bf16 halves the HBM
+    # traffic of the bandwidth-bound serving loop; params and all norm
+    # statistics stay f32 (checkpoint-compatible, see unet2d.py).
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,6 +12,8 @@ flipped kernel, which is bit-equivalent to torch's definition:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
@@ -90,6 +92,7 @@ class ConvTranspose2dTorch(nn.Module):
     padding: int
     output_padding: int = 0
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -98,8 +101,10 @@ class ConvTranspose2dTorch(nn.Module):
             nn.initializers.lecun_normal(in_axis=0, out_axis=1),
             (self.in_channels, self.out_channels, self.kernel_size, self.kernel_size),
         )
+        if self.dtype is not None:
+            x, w = x.astype(self.dtype), w.astype(self.dtype)
         y = conv_transpose_2d(x, w, self.stride, self.padding, self.output_padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            y = y + b
+            y = y + (b.astype(self.dtype) if self.dtype is not None else b)
         return y

@@ -68,6 +68,7 @@ class GradTTSModel(nn.Module):
                 masked_norm=d.masked_norm,
                 use_preblock=(d.kind == "unet1d_preblock"),
                 preblock_kernel=d.preblock_kernel,
+                compute_dtype=d.compute_dtype,
             )
         elif d.kind == "unet1d":
             from arttts_tpu.models.unet1d import GradLogPEstimator1d

@@ -51,6 +51,10 @@ class MaskedGroupNorm(nn.Module):
     are computed over valid positions only, so a padded batched forward is
     exactly equivalent to per-sample unpadded forwards — enabling real
     batched serving on TPU.
+
+    Statistics are always accumulated in float32 (bf16 sums over 80*768
+    positions lose ~3 decimal digits); the normalized output is cast back
+    to the input dtype.
     """
 
     num_groups: int = 8
@@ -62,18 +66,19 @@ class MaskedGroupNorm(nn.Module):
         G = self.num_groups
         Cg = C // G
         xg = x.reshape(B, H, W, G, Cg)
-        mg = mask[..., None]  # (B, 1, T, 1, 1), broadcasts in the fusion
+        xs = xg.astype(jnp.float32)
+        mg = mask.astype(jnp.float32)[..., None]  # (B, 1, T, 1, 1)
         # single-pass masked statistics: E[x], E[x^2] over valid positions
-        count = jnp.sum(mask, axis=(1, 2, 3)).reshape(B, 1, 1, 1, 1) * (H * Cg)
-        s1 = jnp.sum(xg * mg, axis=(1, 2, 4), keepdims=True)
-        s2 = jnp.sum(jnp.square(xg) * mg, axis=(1, 2, 4), keepdims=True)
+        count = jnp.sum(mg, axis=(1, 2, 3, 4)).reshape(B, 1, 1, 1, 1) * (H * Cg)
+        s1 = jnp.sum(xs * mg, axis=(1, 2, 4), keepdims=True)
+        s2 = jnp.sum(jnp.square(xs) * mg, axis=(1, 2, 4), keepdims=True)
         mean = s1 / count
         var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape(B, H, W, C)
+        xs = (xs - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xs.reshape(B, H, W, C)
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return x * scale + bias
+        return (x * scale + bias).astype(xg.dtype)
 
 
 class Block2d(nn.Module):
@@ -84,14 +89,15 @@ class Block2d(nn.Module):
     dim_out: int
     groups: int = 8
     masked_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.Conv(self.dim_out, (3, 3), padding="SAME")(x * mask)
+        h = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype)(x * mask)
         if self.masked_norm:
             h = MaskedGroupNorm(num_groups=self.groups, name="GroupNorm_0")(h, mask)
         else:
-            h = nn.GroupNorm(num_groups=self.groups)(h)
+            h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(h)
         return mish(h) * mask
 
 
@@ -101,15 +107,16 @@ class ResnetBlock2d(nn.Module):
     dim_out: int
     groups: int = 8
     masked_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask, time_emb):
-        h = Block2d(self.dim_out, self.groups, self.masked_norm)(x, mask)
-        t = nn.Dense(self.dim_out)(mish(time_emb))  # (B, dim_out)
+        h = Block2d(self.dim_out, self.groups, self.masked_norm, self.dtype)(x, mask)
+        t = nn.Dense(self.dim_out, dtype=self.dtype)(mish(time_emb))  # (B, dim_out)
         h = h + t[:, None, None, :]
-        h = Block2d(self.dim_out, self.groups, self.masked_norm)(h, mask)
+        h = Block2d(self.dim_out, self.groups, self.masked_norm, self.dtype)(h, mask)
         if x.shape[-1] != self.dim_out:
-            res = nn.Dense(self.dim_out, name="Conv_0")(x * mask)
+            res = nn.Dense(self.dim_out, name="Conv_0", dtype=self.dtype)(x * mask)
         else:
             res = x * mask
         return h + res
@@ -128,6 +135,7 @@ class LinearAttention2d(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -138,22 +146,23 @@ class LinearAttention2d(nn.Module):
         # math as one clean matmul. All ops below stay in the native
         # (B, H, W, channels) layout — no spatial flattening reshapes (TPU
         # tiled layouts turn those into real copies).
-        qkv = nn.Dense(hd * 3, use_bias=False, name="Conv_0")(x)
+        qkv = nn.Dense(hd * 3, use_bias=False, name="Conv_0", dtype=self.dtype)(x)
         q = qkv[..., :hd]
         k = qkv[..., hd : 2 * hd]
         v = qkv[..., 2 * hd :]
         # softmax over all spatial positions, independently per channel —
         # identical to the per-(head, dim) softmax of the flattened form
+        k = k.astype(jnp.float32)
         k = k - jnp.max(k, axis=(1, 2), keepdims=True)
         k = jnp.exp(k)
-        k = k / jnp.sum(k, axis=(1, 2), keepdims=True)
+        k = (k / jnp.sum(k, axis=(1, 2), keepdims=True)).astype(v.dtype)
         # full-width context (B, h*d, h*d); only diagonal head blocks are real
         context = jnp.einsum("bhwd,bhwe->bde", k, v)
         blk = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // self.dim_head
         blk_t = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // self.dim_head
         context = jnp.where(blk == blk_t, context, 0.0)
         out = jnp.einsum("bde,bhwd->bhwe", context, q)  # (B, H, W, h*d)
-        return nn.Dense(C, name="Conv_1")(out)
+        return nn.Dense(C, name="Conv_1", dtype=self.dtype)(out)
 
 
 class Rezero(nn.Module):
@@ -164,17 +173,19 @@ class Rezero(nn.Module):
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.zeros, (1,))
-        return x + self.fn(x) * g
+        return x + self.fn(x) * g.astype(x.dtype)
 
 
 class Downsample2d(nn.Module):
     """conv 3x3 stride 2 pad 1 (diffusion.py:30-36)."""
 
     dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype)(x)
 
 
 class GradLogPEstimator2d(nn.Module):
@@ -191,6 +202,12 @@ class GradLogPEstimator2d(nn.Module):
     masked_norm: bool = False
     use_preblock: bool = False  # Diffusion1DPreblock: wide (1,9) conv +
     preblock_kernel: int = 9    # channel attention before the downs
+    # "bfloat16" halves the HBM traffic of the bandwidth-bound B=1 serving
+    # loop and removes XLA's per-conv f32<->bf16 layout copies; params stay
+    # f32 (checkpoint-compatible) and all normalization statistics are
+    # accumulated in f32 (MaskedGroupNorm / flax GroupNorm / attention
+    # softmax). Default f32 = bit-identical to the pre-dtype code.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk: Optional[jnp.ndarray] = None):
@@ -199,16 +216,24 @@ class GradLogPEstimator2d(nn.Module):
             f"frame axis {x.shape[1]} must be divisible by "
             f"{2 ** (len(self.dim_mults) - 1)} (use fix_len_compatibility)"
         )
-        t_emb = SinusoidalPosEmb(self.dim)(t, scale=self.pe_scale)
-        t_emb = nn.Dense(self.dim * 4)(t_emb)
-        t_emb = nn.Dense(self.dim)(mish(t_emb))
+        cdt = jnp.dtype(self.compute_dtype)
+        in_dtype = x.dtype
+        x, mask, mu = x.astype(cdt), mask.astype(cdt), mu.astype(cdt)
+        # positional phases scale*t*freq reach O(1000): computing them in
+        # bf16 is a multi-radian phase error — always f32, cast the result
+        t_emb = SinusoidalPosEmb(self.dim)(
+            t.astype(jnp.float32), scale=self.pe_scale
+        ).astype(cdt)
+        t_emb = nn.Dense(self.dim * 4, dtype=cdt)(t_emb)
+        t_emb = nn.Dense(self.dim, dtype=cdt)(mish(t_emb))
 
         # (B, T, F) -> image (B, F, T, C)
         planes = [jnp.transpose(mu, (0, 2, 1)), jnp.transpose(x, (0, 2, 1))]
         if self.n_spks > 1:
             assert spk is not None
-            s = nn.Dense(self.spk_emb_dim * 4)(spk)
-            s = nn.Dense(self.n_feats)(mish(s))  # (B, n_feats)
+            spk = spk.astype(cdt)
+            s = nn.Dense(self.spk_emb_dim * 4, dtype=cdt)(spk)
+            s = nn.Dense(self.n_feats, dtype=cdt)(mish(s))  # (B, n_feats)
             planes.append(jnp.broadcast_to(s[:, :, None], planes[0].shape))
         h = jnp.stack(planes, axis=-1)  # (B, F, T, 2 or 3)
         mask_img = mask[:, None, :, :]  # (B, 1, T, 1)
@@ -227,30 +252,30 @@ class GradLogPEstimator2d(nn.Module):
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
             m = masks[-1]
-            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
-            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm)(h, m, t_emb)
-            h = Rezero(LinearAttention2d())(h)
+            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm, cdt)(h, m, t_emb)
+            h = ResnetBlock2d(dim_out, self.groups, self.masked_norm, cdt)(h, m, t_emb)
+            h = Rezero(LinearAttention2d(dtype=cdt))(h)
             hiddens.append(h)
             if not is_last:
-                h = Downsample2d(dim_out)(h * m)
+                h = Downsample2d(dim_out, cdt)(h * m)
             masks.append(m[:, :, ::2, :])
 
         masks = masks[:-1]
         m_mid = masks[-1]
         mid_dim = dims[-1]
-        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
-        h = Rezero(LinearAttention2d())(h)
-        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm)(h, m_mid, t_emb)
+        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm, cdt)(h, m_mid, t_emb)
+        h = Rezero(LinearAttention2d(dtype=cdt))(h)
+        h = ResnetBlock2d(mid_dim, self.groups, self.masked_norm, cdt)(h, m_mid, t_emb)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             m = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
-            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm)(h, m, t_emb)
-            h = Rezero(LinearAttention2d())(h)
-            h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1)(h * m)
+            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm, cdt)(h, m, t_emb)
+            h = ResnetBlock2d(dim_in, self.groups, self.masked_norm, cdt)(h, m, t_emb)
+            h = Rezero(LinearAttention2d(dtype=cdt))(h)
+            h = ConvTranspose2dTorch(dim_in, dim_in, 4, 2, 1, dtype=cdt)(h * m)
 
-        h = Block2d(self.dim, self.groups, self.masked_norm)(h, mask_img)
-        out = nn.Dense(1, name="Conv_0")(h * mask_img)  # (B, F, T, 1)
+        h = Block2d(self.dim, self.groups, self.masked_norm, cdt)(h, mask_img)
+        out = nn.Dense(1, name="Conv_0", dtype=cdt)(h * mask_img)  # (B, F, T, 1)
         out = out[..., 0] * mask_img[..., 0]  # (B, F, T)
-        return jnp.transpose(out, (0, 2, 1))  # (B, T, F)
+        return jnp.transpose(out, (0, 2, 1)).astype(in_dtype)  # (B, T, F)
