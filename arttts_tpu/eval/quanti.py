@@ -67,6 +67,58 @@ def quanti_art(
     return results
 
 
+def reencode_wavs(
+    wav_dir: str,
+    out_dir: str,
+    variables=None,
+    config=None,
+) -> int:
+    """Self-contained SPARC re-encoding step of the quanti_art protocol
+    (`quanti_art_voxcom.py:118-160` re-encodes the vocoded audio with the
+    external coder; this uses the framework-native encoder,
+    `models/sparc_encoder.py`). Writes `(T, 14)` npys named after the wavs;
+    returns the number encoded. `variables=None` uses random weights
+    (pipeline smoke only — pass converted WavLM + probe weights for real
+    evaluation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from arttts_tpu.audio.io import load_wav
+    from arttts_tpu.models.sparc_encoder import (
+        SparcEncoder,
+        SparcEncoderConfig,
+        build_encoder_params,
+    )
+
+    config = config or SparcEncoderConfig()
+    enc = SparcEncoder(config)
+    if variables is None:
+        variables = build_encoder_params(None, config)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    @jax.jit
+    def run(wav, mask):
+        return enc.apply(variables, wav, frame_mask=mask)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    buckets = [32000 * i for i in range(1, 16)]
+    n_done = 0
+    for wav_fp in sorted(Path(wav_dir).glob("*.wav")):
+        wav, _ = load_wav(str(wav_fp), target_sr=config.pitch.sample_rate)
+        n = len(wav)
+        cap = next((b for b in buckets if n <= b), buckets[-1])
+        pad = np.zeros((1, cap), np.float32)
+        pad[0, :n] = wav[:cap]
+        n_valid = enc.num_frames(min(n, cap))
+        n_tot = enc.num_frames(cap)
+        mask = (np.arange(n_tot) < n_valid).astype(np.float32)[None]
+        feats, _sp = run(jnp.asarray(pad), jnp.asarray(mask))
+        np.save(out / f"{wav_fp.stem}.npy", np.asarray(feats)[0, :n_valid])
+        n_done += 1
+    return n_done
+
+
 def quanti_mel(
     pred_dir: str,
     ref_mel_dir: str,

@@ -89,7 +89,8 @@ def test_arpabet_to_ipa_table_covers_cmu():
 
 
 def test_ipa_segments_distinct():
-    aliases = {"g"}  # ASCII alias of IPA "ɡ"
+    # segments written with ASCII "g" are aliases of their IPA "ɡ" twins
+    aliases = {s for s in SEGMENTS if "g" in s and s.replace("g", "ɡ") in SEGMENTS}
     vecs = {}
     for seg in set(SEGMENTS) - aliases:
         v = tuple(segment_features(seg).tolist())

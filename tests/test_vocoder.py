@@ -43,6 +43,31 @@ def test_conv_transpose_matches_torch(rng):
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_conv_transpose_polyphase_matches_torch(rng):
+    """The opt-in polyphase K==2*stride rewrite is float-exact vs torch."""
+    for (cin, cout, k, s, p, op) in [
+        (4, 3, 16, 8, 4, 0),
+        (4, 3, 16, 8, 4, 1),
+        (2, 2, 4, 2, 1, 0),
+        (3, 5, 6, 3, 2, 1),
+    ]:
+        x = rng.standard_normal((2, 12, cin)).astype(np.float32)
+        w = rng.standard_normal((cin, cout, k)).astype(np.float32)
+        got = np.asarray(
+            conv_transpose_1d(
+                jnp.asarray(x), jnp.asarray(w), s, p, op, polyphase=True
+            )
+        )
+        want = F.conv_transpose1d(
+            torch.from_numpy(x).permute(0, 2, 1),
+            torch.from_numpy(w),
+            stride=s,
+            padding=p,
+            output_padding=op,
+        ).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_fold_weight_norm_matches_torch(rng):
     for dim in (0, 2):  # dim=0: HiFi-GAN convs; dim=2: fairseq pos_conv
         conv = torch.nn.Conv1d(4, 8, 3)
