@@ -265,7 +265,21 @@ def run_sparc_vocoder(
 
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-    apply = jax.jit(lambda v, c, s: generator.apply(v, c, s))
+    from arttts_tpu.models.hifigan import (
+        SpkSparcHiFiGANGenerator,
+        spk_sparc_forward_fast,
+    )
+
+    if (
+        isinstance(generator, SpkSparcHiFiGANGenerator)
+        and jax.default_backend() != "cpu"
+    ):
+        # Pallas FiLM-MRF kernel path (ops/mrf_pallas.py) on TPU
+        apply = jax.jit(
+            lambda v, c, s: spk_sparc_forward_fast(generator, v, c, s)
+        )
+    else:
+        apply = jax.jit(lambda v, c, s: generator.apply(v, c, s))
     saved = []
     for p in artifact_paths:
         arr = np.load(p)

@@ -19,7 +19,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from arttts_tpu.models.convs import ConvTranspose1dTorch
+from arttts_tpu.models.convs import ConvTranspose1dTorch, conv_transpose_1d
 
 LRELU_SLOPE = 0.1
 
@@ -373,3 +373,172 @@ def generator_loss(disc_outputs):
     for dg in disc_outputs:
         loss += jnp.mean((1 - dg) ** 2)
     return loss
+
+
+def hifigan_forward_fast(
+    vocoder: "HiFiGANGenerator", variables, mel, interpret: bool = False
+):
+    """HiFiGANGenerator forward with the MRF stages on the Pallas kernel.
+
+    A pure function over the SAME param tree as `vocoder.apply` (no module
+    changes, converters untouched): conv_pre / upsample transposed convs /
+    conv_post run through XLA; each upsample level's 3-branch MRF runs as
+    one `ops/mrf_pallas.mrf_stage` kernel where supported (C <= 128 — the
+    C=256 first stage keeps the XLA ResBlocks, see `mrf_supported`).
+    Output parity with `vocoder.apply` is pinned by
+    `tests/test_mrf_pallas.py::test_hifigan_forward_fast_matches_module`.
+    """
+    from jax import lax
+
+    from arttts_tpu.ops.mrf_pallas import mrf_stage, mrf_supported, pack_mrf_weights
+
+    p = variables["params"]
+
+    def conv1d(x, pp):
+        return (
+            lax.conv_general_dilated(
+                x, pp["kernel"], (1,), "SAME",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            + pp["bias"]
+        )
+
+    x = conv1d(mel, p["conv_pre"])
+    num_kernels = len(vocoder.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(
+        zip(vocoder.upsample_rates, vocoder.upsample_kernel_sizes)
+    ):
+        x = leaky_relu(x)
+        up = p[f"ups_{i}"]
+        x = conv_transpose_1d(x, up["weight"], u, (k - u) // 2) + up["bias"]
+        ch = x.shape[-1]
+        rks = tuple(vocoder.resblock_kernel_sizes)
+        dils = tuple(vocoder.resblock_dilation_sizes[0])
+        uniform_dils = all(
+            tuple(d) == dils for d in vocoder.resblock_dilation_sizes
+        )
+        if uniform_dils and vocoder.use_additional_convs and mrf_supported(ch, rks, dils):
+            weights = pack_mrf_weights(
+                [p[f"resblock_{i}_{j}"] for j in range(num_kernels)], ch
+            )
+            x = mrf_stage(x, weights, rks, dils, interpret=interpret)
+        else:
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(vocoder.resblock_kernel_sizes, vocoder.resblock_dilation_sizes)
+            ):
+                r = ResBlock(
+                    channels=ch,
+                    kernel_size=rk,
+                    dilations=tuple(rd),
+                    use_additional_convs=vocoder.use_additional_convs,
+                ).apply({"params": p[f"resblock_{i}_{j}"]}, x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+    x = nn.leaky_relu(x, negative_slope=0.01)
+    x = conv1d(x, p["conv_post"])
+    return jnp.tanh(x)
+
+
+def sparc_forward_fast(
+    generator: "SparcHiFiGANGenerator", variables, c, spk_emb,
+    interpret: bool = False,
+):
+    """SparcHiFiGANGenerator forward with the FiLM-MRF stages on the Pallas
+    kernel (`ops/mrf_pallas.mrf_stage(film=...)`) — same param tree as
+    `.apply`, inference-only (FiLM dropout deterministic). The per-utterance
+    FiLM (a, b) vectors are tiny MLP outputs computed here and passed into
+    the kernel; stages whose channel count the kernel does not support fall
+    back to the XLA FiLMResBlock path."""
+    import jax
+    from jax import lax
+
+    from arttts_tpu.ops.mrf_pallas import mrf_stage, mrf_supported, pack_mrf_weights
+
+    g = generator
+    p = variables["params"]
+
+    def conv1d(x, pp):
+        return (
+            lax.conv_general_dilated(
+                x, pp["kernel"], (1,), "SAME",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            + pp["bias"]
+        )
+
+    pitch = (c[..., g.pitch_axis] - g.pitch_offset) * g.pitch_rescale
+    c = c.at[..., g.pitch_axis].set(pitch)
+    x = conv1d(c, p["input_conv"])
+    num_blocks = len(g.resblock_kernel_sizes)
+    rks = tuple(g.resblock_kernel_sizes)
+    dils = tuple(g.resblock_dilations[0])
+    uniform = all(tuple(d) == dils for d in g.resblock_dilations)
+
+    def film_vectors(bp, n_dil, C):
+        """block params -> (a, b) each (n_dil, B, C) from the film MLPs."""
+        a_list, b_list = [], []
+        for d in range(n_dil):
+            h = spk_emb @ bp[f"film_{d}_0"]["kernel"] + bp[f"film_{d}_0"]["bias"]
+            h = jax.nn.relu(h)
+            f = h @ bp[f"film_{d}_1"]["kernel"] + bp[f"film_{d}_1"]["bias"]
+            f = jnp.tanh(f * 0.2) / 0.2  # SoftClamp
+            a_list.append(f[:, :C])
+            b_list.append(f[:, C:])
+        return jnp.stack(a_list), jnp.stack(b_list)
+
+    for i, (u, k) in enumerate(zip(g.upsample_scales, g.upsample_kernel_sizes)):
+        x = leaky_relu(x)
+        up = p[f"upsample_{i}"]
+        x = conv_transpose_1d(
+            x, up["weight"], u, u // 2 + u % 2, output_padding=u % 2
+        ) + up["bias"]
+        ch = x.shape[-1]
+        if (
+            g.use_spk and uniform and g.use_additional_convs
+            and mrf_supported(ch, rks, dils)
+        ):
+            block_ps = [p[f"block_{i}_{j}"] for j in range(num_blocks)]
+            weights = pack_mrf_weights(block_ps, ch)
+            films = [film_vectors(bp, len(dils), ch) for bp in block_ps]
+            fa = jnp.stack([f[0] for f in films])
+            fb = jnp.stack([f[1] for f in films])
+            x = mrf_stage(x, weights, rks, dils, interpret=interpret,
+                          film=(fa, fb))
+        else:
+            cs = 0.0
+            for j, (rk, rd) in enumerate(
+                zip(g.resblock_kernel_sizes, g.resblock_dilations)
+            ):
+                if g.use_spk:
+                    r = FiLMResBlock(
+                        channels=ch, kernel_size=rk, dilations=tuple(rd),
+                        use_additional_convs=g.use_additional_convs,
+                        spk_emb_size=g.spk_emb_size,
+                    ).apply({"params": p[f"block_{i}_{j}"]}, x, spk_emb,
+                            deterministic=True)
+                else:
+                    r = ResBlock(
+                        channels=ch, kernel_size=rk, dilations=tuple(rd),
+                        use_additional_convs=g.use_additional_convs,
+                    ).apply({"params": p[f"block_{i}_{j}"]}, x)
+                cs = cs + r
+            x = cs / num_blocks
+    x = nn.leaky_relu(x, negative_slope=0.01)
+    x = conv1d(x, p["output_conv"])
+    return jnp.tanh(x) if g.use_tanh else x
+
+
+def spk_sparc_forward_fast(
+    module: "SpkSparcHiFiGANGenerator", variables, c, spk_ft,
+    interpret: bool = False,
+):
+    """SpkSparcHiFiGANGenerator fast path: speaker MLP + Pallas generator."""
+    p = variables["params"]
+    h = spk_ft @ p["spk_enc_0"]["kernel"] + p["spk_enc_0"]["bias"]
+    h = nn.gelu(h, approximate=False)
+    spk_emb = h @ p["spk_enc_1"]["kernel"] + p["spk_enc_1"]["bias"]
+    return sparc_forward_fast(
+        module.generator, {"params": p["generator"]}, c, spk_emb,
+        interpret=interpret,
+    )

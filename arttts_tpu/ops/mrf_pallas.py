@@ -1,0 +1,276 @@
+"""Pallas TPU kernel for HiFi-GAN's multi-receptive-field (MRF) stack.
+
+Why: the MRF stages run 18 dilated 1-D convolutions per stage over waveform-
+rate signals at small channel counts (512 -> 32).  XLA materializes every
+intermediate in lane-padded layouts (C=32 pads to 128 lanes -> 4x bytes) and
+re-tiles around each conv; the profiled stage-4 MRF alone runs ~6.2 ms for
+~50 GFLOP (see CLAUDE.md perf notes).  This kernel runs one WHOLE stage —
+3 branches x 3 dilation rounds x 2 convs each, with all residual adds and
+leaky-relus — per grid step entirely in VMEM:
+
+  * tiles over the time axis with a halo covering the stage's cumulative
+    receptive field; neighbor samples arrive via manual async DMA, sequence
+    edges are zeroed with a per-frame validity mask (the reference SAME-pads
+    every conv — `hifi-gan/models.py:13-101`);
+  * lane packing: for C < 128, r = 128 // C consecutive frames share one
+    128-lane row, so every VMEM buffer and DMA is exactly lane-aligned and
+    nothing is padded.  Conv taps become a sublane roll plus a lane roll
+    with a row-carry select; weights expand to block-diagonal
+    kron(I_r, w) so each tap is one full-width (128, 128) MXU contraction;
+  * all branch weights stay resident in VMEM (8.3 MB at 128 lanes); the
+    C=256 first stage exceeds that and stays on the XLA path
+    (`mrf_supported`) — its tensors are the smallest, so XLA's layout
+    overhead costs least there.
+
+Semantics are identical to `models/hifigan.py:ResBlock` summed over branches
+and divided by the branch count (reference `hifi-gan/models.py:184-199`);
+parity is pinned by `tests/test_mrf_pallas.py` in interpret mode (all pack
+factors) and the full-generator fast path is compared against
+`HiFiGANGenerator.apply`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+LANES = 128
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _halo_rf(kernel_sizes: Sequence[int], dilations: Sequence[int]) -> int:
+    """Cumulative one-sided receptive field of the deepest branch: each
+    dilation round applies conv(k, d) then conv(k, 1)."""
+    kmax = max(kernel_sizes)
+    return (kmax - 1) // 2 * (sum(dilations) + len(dilations))
+
+
+def _shift_packed(x, delta: int, r: int, C: int, q_idx):
+    """Value at packed (row, q) of the result = x at frame row*r + q + delta.
+
+    delta decomposes as sigma*r + lam (0 <= lam < r): a sublane roll brings
+    row+sigma (and row+sigma+1) into place, a lane roll realigns sub-frames,
+    and a select applies the row carry where q + lam wraps.  All rolls are
+    circular — wrapped values land in the halo and are never written out.
+    """
+    L = x.shape[0]
+    sigma = delta // r  # floor division (handles negative deltas)
+    lam = delta - sigma * r
+    base = pltpu.roll(x, (-sigma) % L, axis=0)
+    if lam == 0:
+        return base
+    nxt = pltpu.roll(x, (-sigma - 1) % L, axis=0)
+    s = (LANES - lam * C) % LANES
+    a = pltpu.roll(base, s, axis=1)
+    b = pltpu.roll(nxt, s, axis=1)
+    return jnp.where(q_idx < r - lam, a, b)
+
+
+def _conv_packed(x, w_flat, bias, k: int, d: int, r: int, C: int, q_idx):
+    """SAME dilated conv on a lane-packed haloed tile: k full-width dots."""
+    pad = (k - 1) // 2 * d
+    out = None
+    for j in range(k):
+        shifted = _shift_packed(x, j * d - pad, r, C, q_idx)
+        w = w_flat[j * LANES : (j + 1) * LANES, :]
+        part = jnp.dot(shifted, w, preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    return out + bias[None, :]
+
+
+def _mrf_kernel(
+    x_hbm,
+    *refs,
+    kernel_sizes: Tuple[int, ...],
+    dilations: Tuple[int, ...],
+    r: int,
+    C: int,
+    T_b: int,
+    H: int,
+    rows_total: int,
+    T_total: int,
+    has_film: bool,
+):
+    n_br = len(kernel_sizes)
+    w_refs = refs[: 4 * n_br]
+    pos = 4 * n_br
+    if has_film:
+        fa_ref, fb_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    out_ref = refs[pos]
+    xs = refs[pos + 1]
+    sem = refs[pos + 2]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    L = T_b + 2 * H
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * T_b, L), :], xs, sem)
+    dma.start()
+    dma.wait()
+
+    x0 = xs[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 1)
+    q_idx = lane // C
+    # Frames outside the sequence must read as zero into EVERY conv (the
+    # reference SAME-pads each layer); mask by global frame index.
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
+    frame = (i * T_b + row - H) * r + q_idx
+    valid = ((frame >= 0) & (frame < T_total)).astype(x0.dtype)
+
+    acc = None
+    for br, k in enumerate(kernel_sizes):
+        w1s, b1s, w2s, b2s = w_refs[4 * br : 4 * br + 4]
+        xb = x0
+        for di, d in enumerate(dilations):
+            xt = _lrelu(xb)
+            xt = _conv_packed(xt, w1s[di], b1s[di], k, d, r, C, q_idx) * valid
+            xt = _lrelu(xt)
+            xt = _conv_packed(xt, w2s[di], b2s[di], k, 1, r, C, q_idx)
+            if has_film:
+                # speaker FiLM: xt * a + b_ (sparc_block.py:177-204), then
+                # the sequence-edge zero like every other conv output
+                xt = xt * fa_ref[br, di, b][None, :] + fb_ref[br, di, b][None, :]
+            xt = xt * valid
+            xb = xb + xt
+        acc = xb if acc is None else acc + xb
+    out_ref[0] = acc[H : H + T_b, :] * (1.0 / n_br)
+
+
+def _weight_bytes(kernel_sizes, dilations) -> int:
+    # packed weights are always (k * 128, 128) per conv
+    return 2 * len(dilations) * sum(kernel_sizes) * LANES * LANES * 4
+
+
+def mrf_supported(C: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5)) -> bool:
+    """The kernel keeps all branch weights resident in VMEM at 128 lanes;
+    C must divide the lane width (pack factor r = 128 // C) and C > 128
+    (stage 1's C=256 -> 33 MB of weights) is out of scoped-VMEM reach."""
+    return C <= LANES and LANES % C == 0 and (
+        _weight_bytes(kernel_sizes, dilations) <= 9 * 1024 * 1024
+    )
+
+
+def _pick_tile(rows: int, kernel_sizes, dilations) -> int:
+    """Largest packed-row tile whose working set fits VMEM: ~12 live
+    (L, 128)-f32 buffers plus the resident weights under the 16 MB scoped
+    limit."""
+    avail = 13 * 1024 * 1024 - _weight_bytes(kernel_sizes, dilations)
+    budget = max(avail, 2 * 1024 * 1024) // (12 * 4 * LANES)  # rows
+    tile = 1 << int(np.log2(max(budget, 64)))
+    tile = min(tile, 1 << int(np.log2(rows)))
+    while rows % tile:
+        tile //= 2
+    return tile
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations", "interpret"),
+)
+def mrf_stage(
+    x: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    kernel_sizes: Tuple[int, ...] = (3, 7, 11),
+    dilations: Tuple[int, ...] = (1, 3, 5),
+    interpret: bool = False,
+    film=None,
+) -> jnp.ndarray:
+    """One full MRF stage: (B, T, C) -> (B, T, C), C <= 128, C | 128.
+
+    `weights` is a flat tuple, 4 arrays per branch (in `kernel_sizes`
+    order): w1 (n_dil, k*C, C), b1 (n_dil, C), w2 (n_dil, k*C, C),
+    b2 (n_dil, C) — see `pack_mrf_weights`.  `film` is an optional
+    (fa, fb) pair of (n_br, n_dil, B, C) per-utterance FiLM vectors
+    (the SPARC articulatory vocoder's speaker modulation).
+    """
+    B, T, C = x.shape
+    assert mrf_supported(C, kernel_sizes, dilations), (C, kernel_sizes)
+    r = LANES // C
+    assert T % r == 0, (T, r)
+    rows_total = T // r
+
+    def expand_w(w):
+        """(n_dil, k*C, C) -> block-diagonal (n_dil, k*128, 128)."""
+        n_dil, kc, _ = w.shape
+        k = kc // C
+        w4 = w.reshape(n_dil, k, C, C)
+        eye = jnp.eye(r, dtype=w.dtype)
+        big = jnp.einsum("nkab,ij->nkiajb", w4, eye)
+        return big.reshape(n_dil, k * LANES, LANES)
+
+    if r > 1:
+        weights = tuple(
+            expand_w(w) if w.ndim == 3 else jnp.tile(w, (1, r))
+            for w in weights
+        )
+        if film is not None:
+            film = tuple(jnp.tile(f, (1, 1, 1, r)) for f in film)
+        x = x.reshape(B, rows_total, LANES)
+
+    H_rf = _halo_rf(kernel_sizes, dilations)
+    # packed-row halo: receptive field plus one carry row per conv, aligned
+    # to the f32 sublane tile
+    n_convs = 2 * len(dilations)
+    H = -(-(H_rf // r + n_convs + 4) // 8) * 8
+    T_b = _pick_tile(rows_total, kernel_sizes, dilations)
+    n_tiles = rows_total // T_b
+    x_pad = jnp.pad(x, ((0, 0), (H, H), (0, 0)))
+
+    n_br = len(kernel_sizes)
+    n_w = 4 * n_br + (2 if film is not None else 0)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w
+    kern = functools.partial(
+        _mrf_kernel,
+        kernel_sizes=tuple(kernel_sizes),
+        dilations=tuple(dilations),
+        r=r,
+        C=C,
+        T_b=T_b,
+        H=H,
+        rows_total=rows_total,
+        T_total=T,
+        has_film=film is not None,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, T_b, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, rows_total, LANES), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T_b + 2 * H, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, *(weights + (tuple(film) if film is not None else ())))
+    return out.reshape(B, T, C)
+
+
+def pack_mrf_weights(resblock_params: Sequence[dict], C: int) -> Tuple:
+    """Flax `resblock_{i}_{j}` param dicts (conv1_{d}/conv2_{d} with
+    (k, Cin, Cout) kernels) -> the flat weight tuple `mrf_stage` expects."""
+    flat = []
+    for p in resblock_params:
+        n_dil = len([k for k in p if k.startswith("conv1_")])
+        w1 = jnp.stack(
+            [p[f"conv1_{d}"]["kernel"].reshape(-1, C) for d in range(n_dil)]
+        )
+        b1 = jnp.stack([p[f"conv1_{d}"]["bias"] for d in range(n_dil)])
+        w2 = jnp.stack(
+            [p[f"conv2_{d}"]["kernel"].reshape(-1, C) for d in range(n_dil)]
+        )
+        b2 = jnp.stack([p[f"conv2_{d}"]["bias"] for d in range(n_dil)])
+        flat += [w1, b1, w2, b2]
+    return tuple(flat)
