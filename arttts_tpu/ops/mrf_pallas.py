@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 LRELU_SLOPE = 0.1
 LANES = 128
@@ -173,26 +178,14 @@ def _pick_tile(rows: int, kernel_sizes, dilations) -> int:
     return tile
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kernel_sizes", "dilations", "interpret"),
-)
-def mrf_stage(
+def _mrf_stage_impl(
     x: jnp.ndarray,
     weights: Tuple[jnp.ndarray, ...],
-    kernel_sizes: Tuple[int, ...] = (3, 7, 11),
-    dilations: Tuple[int, ...] = (1, 3, 5),
-    interpret: bool = False,
-    film=None,
+    kernel_sizes: Tuple[int, ...],
+    dilations: Tuple[int, ...],
+    interpret: bool,
+    film,
 ) -> jnp.ndarray:
-    """One full MRF stage: (B, T, C) -> (B, T, C), C <= 128, C | 128.
-
-    `weights` is a flat tuple, 4 arrays per branch (in `kernel_sizes`
-    order): w1 (n_dil, k*C, C), b1 (n_dil, C), w2 (n_dil, k*C, C),
-    b2 (n_dil, C) — see `pack_mrf_weights`.  `film` is an optional
-    (fa, fb) pair of (n_br, n_dil, B, C) per-utterance FiLM vectors
-    (the SPARC articulatory vocoder's speaker modulation).
-    """
     B, T, C = x.shape
     assert mrf_supported(C, kernel_sizes, dilations), (C, kernel_sizes)
     r = LANES // C
@@ -256,6 +249,90 @@ def mrf_stage(
         interpret=interpret,
     )(x_pad, *(weights + (tuple(film) if film is not None else ())))
     return out.reshape(B, T, C)
+
+
+def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film):
+    """GSPMD partitioning: the stage is independent per batch row, so under
+    a sharded mesh each device runs the kernel on its local batch shard
+    (weights replicated, FiLM vectors batch-sharded on their axis 2) —
+    the same policy as the MAS kernel (`mas_pallas.py`)."""
+
+    def run(x, *wf):
+        weights = wf[:n_w]
+        film = (wf[n_w], wf[n_w + 1]) if has_film else None
+        return _mrf_stage_impl(
+            x, tuple(weights), kernel_sizes, dilations, interpret, film
+        )
+
+    fn = custom_partitioning(run)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        x_sh = NamedSharding(mesh, P(batch, None, None))
+        arg_sh = [x_sh]
+        for i, a in enumerate(arg_shapes[1:]):
+            if has_film and i >= n_w:
+                arg_sh.append(NamedSharding(mesh, P(None, None, batch, None)))
+            else:
+                arg_sh.append(
+                    NamedSharding(mesh, P(*([None] * len(a.shape))))
+                )
+        return mesh, run, x_sh, tuple(arg_sh)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_axis(arg_shapes), None, None))
+
+    # sdy rule: batch factor shared by x, film and the result; every other
+    # dimension gets its own factor
+    names = iter(f"d{i}" for i in range(200))
+    operands = [("b", next(names), next(names))]
+    for i in range(n_w):
+        operands.append(tuple(next(names) for _ in range(2 + (i % 2 == 0))))
+    if has_film:
+        for _ in range(2):
+            operands.append((next(names), next(names), "b", next(names)))
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule=SdyShardingRule(
+            tuple(operands), (("b", next(names), next(names)),)
+        ),
+    )
+    return fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations", "interpret"),
+)
+def mrf_stage(
+    x: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    kernel_sizes: Tuple[int, ...] = (3, 7, 11),
+    dilations: Tuple[int, ...] = (1, 3, 5),
+    interpret: bool = False,
+    film=None,
+) -> jnp.ndarray:
+    """One full MRF stage: (B, T, C) -> (B, T, C), C <= 128, C | 128.
+
+    `weights` is a flat tuple, 4 arrays per branch (in `kernel_sizes`
+    order): w1 (n_dil, k*C, C), b1 (n_dil, C), w2 (n_dil, k*C, C),
+    b2 (n_dil, C) — see `pack_mrf_weights`.  `film` is an optional
+    (fa, fb) pair of (n_br, n_dil, B, C) per-utterance FiLM vectors
+    (the SPARC articulatory vocoder's speaker modulation).  Batch-sharded
+    inputs partition per device (`_mrf_partitioned`).
+    """
+    n_w = len(weights)
+    has_film = film is not None
+    fn = _mrf_partitioned(
+        tuple(kernel_sizes), tuple(dilations), interpret, n_w, has_film
+    )
+    args = tuple(weights) + (tuple(film) if has_film else ())
+    return fn(x, *args)
 
 
 def pack_mrf_weights(resblock_params: Sequence[dict], C: int) -> Tuple:

@@ -67,6 +67,28 @@ def test_hifigan_forward_fast_matches_module(rng):
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
 
 
+def test_mrf_stage_batch_sharded(rng):
+    """Under an 8-device data mesh the kernel partitions per batch shard
+    (custom_partitioning rule) and matches the unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    C, T = 32, 1024
+    kernel_sizes, dilations = (3,), (1, 3, 5)
+    params = _init_blocks(jax.random.PRNGKey(5), C, kernel_sizes, dilations)
+    weights = pack_mrf_weights(params, C)
+    x = jnp.asarray(rng.standard_normal((8, T, C)).astype(np.float32))
+    want = np.asarray(
+        mrf_stage(x, weights, kernel_sizes, dilations, interpret=True)
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    got = np.asarray(
+        mrf_stage(xs, weights, kernel_sizes, dilations, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_sparc_forward_fast_matches_module(rng):
     """SPARC FiLM generator: Pallas fast path == module apply (FiLM vectors
     threaded into the kernel; C=256 stage on the XLA fallback)."""
