@@ -47,6 +47,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 LRELU_SLOPE = 0.1
 LANES = 128
+# v5e has far more physical VMEM than the 16 MB default scoped limit; the
+# kernel's working set (weights resident + ~12 live tile buffers) is sized
+# against this cap (`_pick_tile`, `mrf_supported`)
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _lrelu(x):
@@ -81,13 +85,15 @@ def _shift_packed(x, delta: int, r: int, C: int, q_idx):
     return jnp.where(q_idx < r - lam, a, b)
 
 
-def _conv_packed(x, w_flat, bias, k: int, d: int, r: int, C: int, q_idx):
-    """SAME dilated conv on a lane-packed haloed tile: k full-width dots."""
+def _conv_packed(x, w_flat, bias, k: int, d: int, r: int, C: int, q_idx,
+                 rw: int):
+    """SAME dilated conv on a lane-packed haloed tile: k full-width dots.
+    `rw` is the packed row width (128 for C <= 128, C itself above)."""
     pad = (k - 1) // 2 * d
     out = None
     for j in range(k):
         shifted = _shift_packed(x, j * d - pad, r, C, q_idx)
-        w = w_flat[j * LANES : (j + 1) * LANES, :]
+        w = w_flat[j * rw : (j + 1) * rw, :]
         part = jnp.dot(shifted, w, preferred_element_type=jnp.float32)
         out = part if out is None else out + part
     return out + bias[None, :]
@@ -105,6 +111,7 @@ def _mrf_kernel(
     rows_total: int,
     T_total: int,
     has_film: bool,
+    rw: int,
 ):
     n_br = len(kernel_sizes)
     w_refs = refs[: 4 * n_br]
@@ -124,11 +131,11 @@ def _mrf_kernel(
     dma.wait()
 
     x0 = xs[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 1)
-    q_idx = lane // C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L, rw), 1)
+    q_idx = jnp.minimum(lane // C, r - 1)
     # Frames outside the sequence must read as zero into EVERY conv (the
     # reference SAME-pads each layer); mask by global frame index.
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, rw), 0)
     frame = (i * T_b + row - H) * r + q_idx
     valid = ((frame >= 0) & (frame < T_total)).astype(x0.dtype)
 
@@ -138,9 +145,9 @@ def _mrf_kernel(
         xb = x0
         for di, d in enumerate(dilations):
             xt = _lrelu(xb)
-            xt = _conv_packed(xt, w1s[di], b1s[di], k, d, r, C, q_idx) * valid
+            xt = _conv_packed(xt, w1s[di], b1s[di], k, d, r, C, q_idx, rw) * valid
             xt = _lrelu(xt)
-            xt = _conv_packed(xt, w2s[di], b2s[di], k, 1, r, C, q_idx)
+            xt = _conv_packed(xt, w2s[di], b2s[di], k, 1, r, C, q_idx, rw)
             if has_film:
                 # speaker FiLM: xt * a + b_ (sparc_block.py:177-204), then
                 # the sequence-edge zero like every other conv output
@@ -151,26 +158,40 @@ def _mrf_kernel(
     out_ref[0] = acc[H : H + T_b, :] * (1.0 / n_br)
 
 
-def _weight_bytes(kernel_sizes, dilations) -> int:
-    # packed weights are always (k * 128, 128) per conv
-    return 2 * len(dilations) * sum(kernel_sizes) * LANES * LANES * 4
+def _weight_bytes(kernel_sizes, dilations, C: int) -> int:
+    rw = max(C, LANES)  # kron-packed below 128 lanes, plain above
+    return 2 * len(dilations) * sum(kernel_sizes) * rw * rw * 4
+
+
+# C > 128 keeps 33 MB of weights resident (v5e physical VMEM holds it —
+# probed to >= 96 MB) and passes interpret-mode parity, but measured on
+# hardware it LOSES to XLA (1.88 vs 1.39 ms for the C=256 stage): with no
+# lane padding at 256 channels XLA's conv emitters are already near-peak,
+# and the small stage-1 tensors cannot amortize the resident weights.
+# Kept available for experimentation, off in serving.
+ALLOW_WIDE_CHANNELS = False
 
 
 def mrf_supported(C: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5)) -> bool:
-    """The kernel keeps all branch weights resident in VMEM at 128 lanes;
-    C must divide the lane width (pack factor r = 128 // C) and C > 128
-    (stage 1's C=256 -> 33 MB of weights) is out of scoped-VMEM reach."""
-    return C <= LANES and LANES % C == 0 and (
-        _weight_bytes(kernel_sizes, dilations) <= 9 * 1024 * 1024
+    """The kernel keeps all branch weights resident in VMEM (v5e has
+    ~128 MB physical VMEM; the 16 MB scoped default is raised via
+    compiler_params). C must either divide the lane width (pack factor
+    r = 128 // C) or be a multiple of it."""
+    ok_c = (C <= LANES and LANES % C == 0) or (
+        ALLOW_WIDE_CHANNELS and C % LANES == 0
+    )
+    return ok_c and (
+        _weight_bytes(kernel_sizes, dilations, C) <= 48 * 1024 * 1024
     )
 
 
-def _pick_tile(rows: int, kernel_sizes, dilations) -> int:
+def _pick_tile(rows: int, kernel_sizes, dilations, C: int) -> int:
     """Largest packed-row tile whose working set fits VMEM: ~12 live
-    (L, 128)-f32 buffers plus the resident weights under the 16 MB scoped
-    limit."""
-    avail = 13 * 1024 * 1024 - _weight_bytes(kernel_sizes, dilations)
-    budget = max(avail, 2 * 1024 * 1024) // (12 * 4 * LANES)  # rows
+    (L, rw)-f32 buffers plus the resident weights under the (raised)
+    VMEM limit."""
+    rw = max(C, LANES)
+    avail = 80 * 1024 * 1024 - _weight_bytes(kernel_sizes, dilations, C)
+    budget = max(avail, 2 * 1024 * 1024) // (12 * 4 * rw)  # rows
     tile = 1 << int(np.log2(max(budget, 64)))
     tile = min(tile, 1 << int(np.log2(rows)))
     while rows % tile:
@@ -188,7 +209,8 @@ def _mrf_stage_impl(
 ) -> jnp.ndarray:
     B, T, C = x.shape
     assert mrf_supported(C, kernel_sizes, dilations), (C, kernel_sizes)
-    r = LANES // C
+    r = max(1, LANES // C)
+    rw = max(C, LANES)
     assert T % r == 0, (T, r)
     rows_total = T // r
 
@@ -215,7 +237,7 @@ def _mrf_stage_impl(
     # to the f32 sublane tile
     n_convs = 2 * len(dilations)
     H = -(-(H_rf // r + n_convs + 4) // 8) * 8
-    T_b = _pick_tile(rows_total, kernel_sizes, dilations)
+    T_b = _pick_tile(rows_total, kernel_sizes, dilations, C)
     n_tiles = rows_total // T_b
     x_pad = jnp.pad(x, ((0, 0), (H, H), (0, 0)))
 
@@ -233,19 +255,23 @@ def _mrf_stage_impl(
         rows_total=rows_total,
         T_total=T,
         has_film=film is not None,
+        rw=rw,
     )
     out = pl.pallas_call(
         kern,
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=pl.BlockSpec(
-            (1, T_b, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, T_b, rw), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, rows_total, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, rows_total, rw), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((T_b + 2 * H, LANES), jnp.float32),
+            pltpu.VMEM((T_b + 2 * H, rw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(x_pad, *(weights + (tuple(film) if film is not None else ())))
     return out.reshape(B, T, C)

@@ -37,9 +37,13 @@ def _init_blocks(rng_key, C, kernel_sizes, dilations):
         (32, 2048, (3, 7, 11)),
         (64, 1024, (3, 7, 11)),
         (128, 512, (3,)),
+        (256, 256, (3, 7)),
     ],
 )
-def test_mrf_stage_matches_resblocks(rng, C, T, kernel_sizes):
+def test_mrf_stage_matches_resblocks(rng, C, T, kernel_sizes, monkeypatch):
+    if C > 128:
+        import arttts_tpu.ops.mrf_pallas as mp
+        monkeypatch.setattr(mp, "ALLOW_WIDE_CHANNELS", True)
     dilations = (1, 3, 5)
     params = _init_blocks(jax.random.PRNGKey(3), C, kernel_sizes, dilations)
     x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
