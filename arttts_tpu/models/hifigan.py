@@ -403,21 +403,60 @@ def hifigan_forward_fast(
             + pp["bias"]
         )
 
+    import arttts_tpu.ops.upsample_pallas as _ups
+    from arttts_tpu.ops.upsample_pallas import upsample_packed
+
     x = conv1d(mel, p["conv_pre"])
     num_kernels = len(vocoder.resblock_kernel_sizes)
+    rks = tuple(vocoder.resblock_kernel_sizes)
+    dils = tuple(vocoder.resblock_dilation_sizes[0])
+    uniform_dils = all(
+        tuple(d) == dils for d in vocoder.resblock_dilation_sizes
+    )
+    mrf_ok = uniform_dils and vocoder.use_additional_convs
+    ch = x.shape[-1]
+    packed = False  # x is (B, rows, 128) with 128 // ch frames per row
     for i, (u, k) in enumerate(
         zip(vocoder.upsample_rates, vocoder.upsample_kernel_sizes)
     ):
-        x = leaky_relu(x)
         up = p[f"ups_{i}"]
+        ch_out = up["weight"].shape[1]
+        # stage-chained packed path: s=2 / k=4 upsamples between 128-lane
+        # stages run lrelu+ConvT as one lane-packed kernel and feed the MRF
+        # kernel without ever materializing an unpacked (lane-padded) tensor
+        chain = (
+            _ups.ENABLE_PACKED_CHAIN
+            and u == 2 and k == 4 and ch <= 128 and 128 % ch == 0
+            and ch_out * 2 == ch and mrf_ok and mrf_supported(ch_out, rks, dils)
+        )
+        if chain:
+            if not packed:  # (B, T, 128) is already the r=1 packed form
+                assert ch == 128, ch
+            x = upsample_packed(
+                x, up["weight"], up["bias"], u, (k - u) // 2,
+                r_in=128 // ch, r_out=128 // ch_out, interpret=interpret,
+            )
+            packed = True
+            ch = ch_out
+            weights = pack_mrf_weights(
+                [p[f"resblock_{i}_{j}"] for j in range(num_kernels)], ch
+            )
+            last = i == len(vocoder.upsample_rates) - 1
+            x = mrf_stage(
+                x, weights, rks, dils, interpret=interpret,
+                channels=ch, packed_out=not last,
+            )
+            if last:
+                packed = False
+            continue
+        if packed:  # unpack before a non-chained stage
+            B_, rows_, _ = x.shape
+            x = x.reshape(B_, rows_ * (128 // ch), ch)
+            packed = False
+        x = leaky_relu(x)
         x = conv_transpose_1d(x, up["weight"], u, (k - u) // 2) + up["bias"]
         ch = x.shape[-1]
-        rks = tuple(vocoder.resblock_kernel_sizes)
-        dils = tuple(vocoder.resblock_dilation_sizes[0])
-        uniform_dils = all(
-            tuple(d) == dils for d in vocoder.resblock_dilation_sizes
-        )
-        if uniform_dils and vocoder.use_additional_convs and mrf_supported(ch, rks, dils):
+        if mrf_ok and mrf_supported(ch, rks, dils):
             weights = pack_mrf_weights(
                 [p[f"resblock_{i}_{j}"] for j in range(num_kernels)], ch
             )

@@ -206,8 +206,18 @@ def _mrf_stage_impl(
     dilations: Tuple[int, ...],
     interpret: bool,
     film,
+    channels: int = 0,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
-    B, T, C = x.shape
+    # channels != 0 marks lane-packed input (B, rows, 128) holding
+    # 128 // channels frames per row (the representation the stage-chained
+    # upsample kernel produces); packed_out skips the final unpack.
+    if channels:
+        C = channels
+        B = x.shape[0]
+        T = x.shape[1] * max(1, LANES // C)
+    else:
+        B, T, C = x.shape
     assert mrf_supported(C, kernel_sizes, dilations), (C, kernel_sizes)
     r = max(1, LANES // C)
     rw = max(C, LANES)
@@ -230,7 +240,8 @@ def _mrf_stage_impl(
         )
         if film is not None:
             film = tuple(jnp.tile(f, (1, 1, 1, r)) for f in film)
-        x = x.reshape(B, rows_total, LANES)
+        if not channels:
+            x = x.reshape(B, rows_total, LANES)
 
     H_rf = _halo_rf(kernel_sizes, dilations)
     # packed-row halo: receptive field plus one carry row per conv, aligned
@@ -274,10 +285,11 @@ def _mrf_stage_impl(
         ),
         interpret=interpret,
     )(x_pad, *(weights + (tuple(film) if film is not None else ())))
-    return out.reshape(B, T, C)
+    return out if packed_out else out.reshape(B, T, C)
 
 
-def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film):
+def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film,
+                     channels=0, packed_out=False):
     """GSPMD partitioning: the stage is independent per batch row, so under
     a sharded mesh each device runs the kernel on its local batch shard
     (weights replicated, FiLM vectors batch-sharded on their axis 2) —
@@ -287,7 +299,8 @@ def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film):
         weights = wf[:n_w]
         film = (wf[n_w], wf[n_w + 1]) if has_film else None
         return _mrf_stage_impl(
-            x, tuple(weights), kernel_sizes, dilations, interpret, film
+            x, tuple(weights), kernel_sizes, dilations, interpret, film,
+            channels=channels, packed_out=packed_out,
         )
 
     fn = custom_partitioning(run)
@@ -333,7 +346,9 @@ def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_sizes", "dilations", "interpret"),
+    static_argnames=(
+        "kernel_sizes", "dilations", "interpret", "channels", "packed_out"
+    ),
 )
 def mrf_stage(
     x: jnp.ndarray,
@@ -342,6 +357,8 @@ def mrf_stage(
     dilations: Tuple[int, ...] = (1, 3, 5),
     interpret: bool = False,
     film=None,
+    channels: int = 0,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
     """One full MRF stage: (B, T, C) -> (B, T, C), C <= 128, C | 128.
 
@@ -355,7 +372,8 @@ def mrf_stage(
     n_w = len(weights)
     has_film = film is not None
     fn = _mrf_partitioned(
-        tuple(kernel_sizes), tuple(dilations), interpret, n_w, has_film
+        tuple(kernel_sizes), tuple(dilations), interpret, n_w, has_film,
+        channels=channels, packed_out=packed_out,
     )
     args = tuple(weights) + (tuple(film) if has_film else ())
     return fn(x, *args)

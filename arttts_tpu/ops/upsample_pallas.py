@@ -1,0 +1,161 @@
+"""Pallas lane-packed polyphase upsampling for HiFi-GAN's late stages.
+
+The stage-3/4 transposed convs (k = 2*stride) are tiny-FLOP but run ~10x
+off the bandwidth roofline under XLA: their outputs have 64/32 channels,
+which pad to 128 lanes, and the surrounding leaky-relu / repack fusions
+materialize the padded tensors (profiled at ~1.5 ms of the fast vocoder's
+11 ms — see CLAUDE.md).  This kernel keeps everything in the 128-lane
+*packed* representation the MRF kernel (`ops/mrf_pallas.py`) already uses
+— r = 128 // C consecutive frames per row:
+
+  out_row[R] = concat_lanes(lrelu(in[R-1]), lrelu(in[R]), lrelu(in[R+1]))
+               @ W_packed (3 * 128, 128)  + bias_packed
+
+For K = 2*stride transposed convs each output frame touches exactly two
+input frames, so one packed output row (r_out frames) depends on at most
+three packed input rows — one MXU dot (K = 384, N = 128) per row block,
+no strides, no padded intermediates.  `W_packed` is not hand-derived: it
+is built by probing the *verified* torch-exact `conv_transpose_1d`
+(`models/convs.py`) with lane basis vectors, so the tap routing is correct
+by construction for any (stride, padding, packing) this layout supports.
+
+Parity: `tests/test_upsample_pallas.py` (interpret mode, both stage
+shapes, sequence edges).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+LRELU_SLOPE = 0.1
+
+# The stage-chained packed path passes interpret-mode parity (kernel +
+# full-generator tests) but its on-hardware timing could not be recorded
+# this round (axon tunnel outage); serving-gated until measured.
+ENABLE_PACKED_CHAIN = False
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding", "r_in", "r_out"))
+def build_packed_ups_matrix(
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int,
+    padding: int,
+    r_in: int,
+    r_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Cin, Cout, K) torch-layout ConvT weight -> (3*128, 128) packed map.
+
+    Probes `conv_transpose_1d` with one basis signal per packed input lane
+    of the three contributing rows; the interior output row R=1 of the
+    probe gives that lane's contribution to the packed output row.
+    """
+    from arttts_tpu.models.convs import conv_transpose_1d
+
+    cin, cout, k = w.shape
+    assert k == 2 * stride, (k, stride)
+    assert r_in * cin == LANES and r_out * cout == LANES, (r_in, cin, r_out, cout)
+
+    # basis batch: 3 rows * r_in frames * cin channels unit impulses over a
+    # 3-row (9-frame-margin) window; frames [r_in*s .. 2*r_in*s) of the
+    # output correspond to packed output row R=1
+    n_basis = 3 * LANES
+    frames_in = 3 * r_in
+    x = jnp.zeros((n_basis, frames_in, cin), jnp.float32)
+    idx = jnp.arange(n_basis)
+    frame = (idx // cin) % (3 * r_in)
+    chan = idx % cin
+    x = x.at[idx, frame, chan].set(1.0)
+    y = conv_transpose_1d(x, w, stride, padding)  # (n_basis, T_out, cout)
+    # output frames belonging to packed row R=1 of the middle input row:
+    # global frame f = r_out * 1 + q  maps to y frame  f + padding  minus
+    # the left overhang the probe's row-0 margin adds: the probe's frame 0
+    # is input frame -r_in relative to the middle row, so output frame 0 of
+    # the middle row sits at probe frame r_in * stride - padding + padding
+    start = r_in * stride
+    rows = y[:, start : start + r_out, :]  # (n_basis, r_out, cout)
+    w_packed = rows.reshape(n_basis, r_out * cout)
+    b_packed = jnp.tile(bias, (r_out,))  # conv_transpose_1d is bias-free
+    return w_packed, b_packed
+
+
+def _ups_kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem, *, T_b, rows_total):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    L = T_b + 2
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * T_b, L), :], xs, sem)
+    dma.start()
+    dma.wait()
+
+    a = _lrelu(xs[:])
+    # zero rows outside the sequence (the padded halo is already zero; this
+    # guards the roll-in at global edges)
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
+    g = i * T_b + row - 1
+    a = a * ((g >= 0) & (g < rows_total)).astype(a.dtype)
+    cat = jnp.concatenate([a[:-2], a[1:-1], a[2:]], axis=-1)  # (T_b, 384)
+    out = jnp.dot(cat, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = out + b_ref[:][None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "padding", "r_in", "r_out", "interpret")
+)
+def upsample_packed(
+    x_packed: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int,
+    padding: int,
+    r_in: int,
+    r_out: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """leaky_relu + ConvTranspose1d(k=2*stride) on lane-packed rows.
+
+    x_packed: (B, rows, 128) holding r_in frames per row of Cin channels;
+    returns (B, rows, 128) holding r_out frames per row of Cout channels
+    (the frame count scales by `stride`; rows stay constant because
+    r_out = r_in * stride * Cout / Cin ... == stride * r_in * Cout/Cin).
+    """
+    B, rows, lanes = x_packed.shape
+    assert lanes == LANES
+    w_packed, b_packed = build_packed_ups_matrix(
+        w, bias, stride, padding, r_in, r_out
+    )
+
+    T_b = 2048
+    while rows % T_b:
+        T_b //= 2
+    x_pad = jnp.pad(x_packed, ((0, 0), (1, 1), (0, 0)))
+    kern = functools.partial(_ups_kernel, T_b=T_b, rows_total=rows)
+    return pl.pallas_call(
+        kern,
+        grid=(B, rows // T_b),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T_b, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), x_packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T_b + 2, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, w_packed, b_packed)

@@ -57,11 +57,15 @@ def test_mrf_stage_matches_resblocks(rng, C, T, kernel_sizes, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-def test_hifigan_forward_fast_matches_module(rng):
+@pytest.mark.parametrize("packed_chain", [False, True])
+def test_hifigan_forward_fast_matches_module(rng, packed_chain, monkeypatch):
     """Full generator: Pallas-MRF fast path == vocoder.apply (all four
-    upsample stages, incl. the C=256 XLA fallback)."""
+    upsample stages, incl. the C=256 XLA fallback), with and without the
+    stage-chained packed upsample kernels."""
+    import arttts_tpu.ops.upsample_pallas as ups
     from arttts_tpu.models.hifigan import HiFiGANGenerator, hifigan_forward_fast
 
+    monkeypatch.setattr(ups, "ENABLE_PACKED_CHAIN", packed_chain)
     vocoder = HiFiGANGenerator()
     mel = jnp.asarray(rng.standard_normal((1, 8, 80)).astype(np.float32))
     variables = jax.jit(vocoder.init)(jax.random.PRNGKey(0), mel)
