@@ -115,6 +115,68 @@ def test_reencode_wavs_roundtrip(tmp_path, enc_and_vars, rng):
         assert 45 <= arr.shape[0] <= 50
 
 
+def test_full_size_param_structure():
+    """WavLM-Large-sized converter output matches SparcEncoder.init's tree
+    exactly (shapes + dtypes via eval_shape — no 317M-param compute)."""
+    import torch
+    from transformers import WavLMModel
+
+    from arttts_tpu.models.wavlm import WavLMConfig
+    from arttts_tpu.utils.torch_convert_wavlm import convert_wavlm
+
+    cfg = SparcEncoderConfig()  # WavLM-Large backbone
+    enc = SparcEncoder(cfg)
+    expected = jax.eval_shape(
+        lambda: enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    )["params"]
+
+    with torch.device("meta"):
+        hf = WavLMModel(WavLMModel.config_class(
+            hidden_size=cfg.wavlm.hidden_dim,
+            num_hidden_layers=cfg.wavlm.num_layers,
+            num_attention_heads=cfg.wavlm.num_heads,
+            intermediate_size=cfg.wavlm.ffn_dim,
+            conv_dim=[c[0] for c in cfg.wavlm.conv_layers],
+            conv_kernel=[c[1] for c in cfg.wavlm.conv_layers],
+            conv_stride=[c[2] for c in cfg.wavlm.conv_layers],
+            num_feat_extract_layers=len(cfg.wavlm.conv_layers),
+            num_conv_pos_embeddings=cfg.wavlm.pos_conv_kernel,
+            num_conv_pos_embedding_groups=cfg.wavlm.pos_conv_groups,
+            num_buckets=cfg.wavlm.num_buckets,
+            max_bucket_distance=cfg.wavlm.max_distance,
+            feat_extract_norm=cfg.wavlm.conv_norm,
+            conv_bias=cfg.wavlm.conv_bias,
+            do_stable_layer_norm=cfg.wavlm.stable_layer_norm,
+        ))
+    sd = {k: torch.zeros(v.shape) for k, v in hf.state_dict().items()}
+    converted = convert_wavlm(sd, cfg.wavlm)
+
+    def flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, prefix + (k,)))
+            else:
+                out["/".join(prefix + (k,))] = v
+        return out
+
+    exp_flat = flatten(dict(expected["wavlm"]))
+    got_flat = flatten(converted)
+    # the tap-layer early exit instantiates only layers 0..tap-1, so the
+    # converted full stack is a strict superset (extras are legal in apply
+    # and needed when tapping deeper)
+    missing = set(exp_flat) - set(got_flat)
+    assert not missing, sorted(missing)[:5]
+    extras = {k.split("/")[0] for k in set(got_flat) - set(exp_flat)}
+    assert all(
+        k == "encoder_norm"
+        or int(k.removeprefix("layer_")) >= cfg.tap_layer
+        for k in extras
+    ), sorted(extras)
+    for k, v in exp_flat.items():
+        assert tuple(np.shape(got_flat[k])) == tuple(v.shape), k
+
+
 def test_build_params_with_hf_backbone(rng):
     """Full wiring: HF WavLM random weights -> converter -> encoder params;
     the tapped features must match the standalone WavLM module's."""
