@@ -270,10 +270,9 @@ def run_sparc_vocoder(
         spk_sparc_forward_fast,
     )
 
-    if (
-        isinstance(generator, SpkSparcHiFiGANGenerator)
-        and jax.default_backend() != "cpu"
-    ):
+    from arttts_tpu.ops.mrf_pallas import mrf_runtime_enabled
+
+    if isinstance(generator, SpkSparcHiFiGANGenerator) and mrf_runtime_enabled():
         # Pallas FiLM-MRF kernel path (ops/mrf_pallas.py) on TPU
         apply = jax.jit(
             lambda v, c, s: spk_sparc_forward_fast(generator, v, c, s)

@@ -188,12 +188,14 @@ def synthesize_to_wav(
         x_durations=x_durations,
     )
     from arttts_tpu.models.hifigan import HiFiGANGenerator, hifigan_forward_fast
+    from arttts_tpu.ops.mrf_pallas import mrf_runtime_enabled
 
     # On TPU, route the mel vocoder's MRF stages through the Pallas kernel
     # (ops/mrf_pallas.py): measured 17.7 -> 11.1 ms for the full generator
     # on v5e. CPU (tests, dryrun) keeps the module path — pallas needs
     # interpret mode there and output parity is pinned separately.
-    if isinstance(vocoder, HiFiGANGenerator) and jax.default_backend() != "cpu":
+    # ARTTTS_DISABLE_MRF_PALLAS=1 forces the XLA path (bench fallback).
+    if isinstance(vocoder, HiFiGANGenerator) and mrf_runtime_enabled():
         wav = hifigan_forward_fast(vocoder, vocoder_variables, dec)
     else:
         wav = vocoder.apply(vocoder_variables, dec)

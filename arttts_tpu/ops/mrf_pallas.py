@@ -47,10 +47,36 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 LRELU_SLOPE = 0.1
 LANES = 128
-# v5e has far more physical VMEM than the 16 MB default scoped limit; the
-# kernel's working set (weights resident + ~12 live tile buffers) is sized
-# against this cap (`_pick_tile`, `mrf_supported`)
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+# ---------------------------------------------------------------------------
+# VMEM budget — ONE coordinated model (round-2 postmortem: three uncoupled
+# magic numbers shipped a compile-time OOM, BENCH_r02).
+#
+# The compiler's scoped-VMEM stack for this kernel is empirically
+#     usage ≈ weight_bytes + c_row * L        (L = T_b + 2H packed rows)
+# Calibration point (the r02 crash): C=64, rw=128, T_b=8192, H=40
+# ⇒ L=8272, weights 33.03 MB, reported usage "117.54M" ⇒ c_row ≈ 10.9 kB/row
+# ≈ 21 live (L, rw)-f32 buffers.  N_LIVE_BUFFERS=26 gives ~25% margin over
+# that liveness, and VMEM_SLACK_BYTES reserves fixed headroom under the
+# limit we pass the compiler.  `_pick_tile` asserts the invariant
+#     weight_bytes + N_LIVE*4*rw*(T_b + 2H) <= VMEM_LIMIT - SLACK
+# for every tile it returns, and `mrf_supported` uses the same budget to
+# bound resident weights — nothing else in this file sizes VMEM.
+# ---------------------------------------------------------------------------
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # passed to the compiler
+VMEM_SLACK_BYTES = 12 * 1024 * 1024  # headroom for compiler-managed temps
+N_LIVE_BUFFERS = 26  # calibrated live (L, rw) f32 buffers (see above)
+
+
+def mrf_runtime_enabled() -> bool:
+    """Serving gate for the Pallas fast paths: real TPU backend only, with
+    an env kill switch (`ARTTTS_DISABLE_MRF_PALLAS=1`) so serving/bench can
+    always fall back to the XLA vocoder if the kernel fails to compile."""
+    import os
+
+    if os.environ.get("ARTTTS_DISABLE_MRF_PALLAS", "0") not in ("", "0"):
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def _lrelu(x):
@@ -176,26 +202,52 @@ def mrf_supported(C: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5)) -> bool:
     """The kernel keeps all branch weights resident in VMEM (v5e has
     ~128 MB physical VMEM; the 16 MB scoped default is raised via
     compiler_params). C must either divide the lane width (pack factor
-    r = 128 // C) or be a multiple of it."""
+    r = 128 // C) or be a multiple of it; the resident weights must leave
+    room for at least a minimal (64-row) tile under the VMEM budget."""
     ok_c = (C <= LANES and LANES % C == 0) or (
         ALLOW_WIDE_CHANNELS and C % LANES == 0
     )
+    rw = max(C, LANES)
+    min_tile_bytes = N_LIVE_BUFFERS * 4 * rw * (64 + 2 * 64)
     return ok_c and (
-        _weight_bytes(kernel_sizes, dilations, C) <= 48 * 1024 * 1024
+        _weight_bytes(kernel_sizes, dilations, C) + min_tile_bytes
+        <= VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES
     )
 
 
-def _pick_tile(rows: int, kernel_sizes, dilations, C: int) -> int:
-    """Largest packed-row tile whose working set fits VMEM: ~12 live
-    (L, rw)-f32 buffers plus the resident weights under the (raised)
-    VMEM limit."""
+def _pick_tile(rows: int, H: int, kernel_sizes, dilations, C: int) -> int:
+    """Largest power-of-two packed-row tile dividing `rows` whose estimated
+    compiler working set — resident weights + N_LIVE_BUFFERS live
+    (T_b + 2H, rw) f32 buffers — fits under the VMEM budget.  The estimate
+    is asserted, so a model drift fails loudly at trace time instead of as
+    a compile-time OOM (the BENCH_r02 failure mode).
+
+    `ARTTTS_MRF_TILE` overrides the row count for hardware sweeps; the
+    override still must pass the budget assertion."""
+    import os
+
     rw = max(C, LANES)
-    avail = 80 * 1024 * 1024 - _weight_bytes(kernel_sizes, dilations, C)
-    budget = max(avail, 2 * 1024 * 1024) // (12 * 4 * rw)  # rows
-    tile = 1 << int(np.log2(max(budget, 64)))
+    budget = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES
+    avail = budget - _weight_bytes(kernel_sizes, dilations, C)
+    assert avail > 0, "mrf_supported should have rejected this config"
+    max_rows = avail // (N_LIVE_BUFFERS * 4 * rw) - 2 * H  # L = T_b + 2H
+    tile = 1 << int(np.log2(max(max_rows, 64)))
     tile = min(tile, 1 << int(np.log2(rows)))
     while rows % tile:
         tile //= 2
+    env = os.environ.get("ARTTTS_MRF_TILE", "")
+    if env:
+        t = int(env)
+        if rows % t == 0:
+            tile = t
+    est = _weight_bytes(kernel_sizes, dilations, C) + N_LIVE_BUFFERS * 4 * rw * (
+        tile + 2 * H
+    )
+    assert est <= budget, (
+        f"MRF tile {tile} estimated VMEM {est/2**20:.1f} MiB exceeds budget "
+        f"{budget/2**20:.1f} MiB (weights "
+        f"{_weight_bytes(kernel_sizes, dilations, C)/2**20:.1f} MiB, H={H})"
+    )
     return tile
 
 
@@ -248,7 +300,7 @@ def _mrf_stage_impl(
     # to the f32 sublane tile
     n_convs = 2 * len(dilations)
     H = -(-(H_rf // r + n_convs + 4) // 8) * 8
-    T_b = _pick_tile(rows_total, kernel_sizes, dilations, C)
+    T_b = _pick_tile(rows_total, H, kernel_sizes, dilations, C)
     n_tiles = rows_total // T_b
     x_pad = jnp.pad(x, ((0, 0), (H, H), (0, 0)))
 

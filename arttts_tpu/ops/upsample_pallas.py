@@ -26,6 +26,7 @@ shapes, sequence edges).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -37,9 +38,9 @@ LANES = 128
 LRELU_SLOPE = 0.1
 
 # The stage-chained packed path passes interpret-mode parity (kernel +
-# full-generator tests) but its on-hardware timing could not be recorded
-# this round (axon tunnel outage); serving-gated until measured.
-ENABLE_PACKED_CHAIN = False
+# full-generator tests); default gate state tracks the on-hardware timing
+# (scripts/bench_vocoder.py), ARTTTS_PACKED_CHAIN=1/0 overrides it.
+ENABLE_PACKED_CHAIN = os.environ.get("ARTTTS_PACKED_CHAIN", "0") not in ("", "0")
 
 
 def _lrelu(x):

@@ -25,7 +25,9 @@ vs_baseline = target_rtf / measured_rtf (>1 is better than target).
 """
 
 import json
+import os
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -98,22 +100,54 @@ def main():
     )
 
     # ---------------- scenario 1: headline pinned-duration RTF -------------
-    def run(k):
-        # the full serving path is ONE jitted program (one device dispatch)
-        return synthesize_to_wav(
-            model, variables, vocoder, voc_vars, k, x, x_lengths,
-            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=durations,
-        )
+    # Crash-proof (BENCH_r02 postmortem): if the Pallas-MRF serving program
+    # fails to compile, fall back to the XLA vocoder path via the
+    # ARTTTS_DISABLE_MRF_PALLAS kill switch so the headline always records.
+    extras = {}
+
+    def make_run(synth):
+        def run(k):
+            # the full serving path is ONE jitted program (one dispatch)
+            return synth(
+                model, variables, vocoder, voc_vars, k, x, x_lengths,
+                n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
+                x_durations=durations,
+            )
+
+        return run
 
     base_key = jax.random.PRNGKey(1)
-    out = run(base_key)
-    float(jnp.sum(out[0]))  # compile + full device sync
+    synth = synthesize_to_wav
+    run = make_run(synth)
+    try:
+        out = run(base_key)
+        float(jnp.sum(out[0]))  # compile + full device sync
+        extras["vocoder_path"] = (
+            "pallas_mrf" if jax.default_backend() != "cpu"
+            and not os.environ.get("ARTTTS_DISABLE_MRF_PALLAS") else "xla"
+        )
+    except Exception:
+        traceback.print_exc()
+        os.environ["ARTTTS_DISABLE_MRF_PALLAS"] = "1"
+        # fresh jit so the fallback re-traces with the kill switch applied
+        import functools as _ft
+
+        synth = _ft.partial(
+            jax.jit(
+                synthesize_to_wav.__wrapped__,
+                static_argnames=(
+                    "model", "vocoder", "n_timesteps", "max_frames", "stoc"
+                ),
+            )
+        )
+        run = make_run(synth)
+        out = run(base_key)
+        float(jnp.sum(out[0]))
+        extras["vocoder_path"] = "xla_fallback_after_pallas_failure"
     elapsed, out = differential_time(run, base_key)
     frames = int(np.asarray(out[1]).max())
     audio_seconds = frames * 256 / 22050.0
     rtf = elapsed / audio_seconds
-
-    extras = {}
 
     # ---------------- MFU / HBM utilization (scenario-1 program) -----------
     try:
@@ -139,6 +173,10 @@ def main():
         if bytes_acc > 0:
             extras["hbm_util_xla_ops"] = round(bytes_acc / elapsed / V5E_PEAK_HBM, 4)
             extras["hbm_gbs_xla_ops"] = round(bytes_acc / elapsed / 1e9, 1)
+        if flops > 0 or bytes_acc > 0:
+            extras["mfu_note"] = (
+                "XLA-lowered ops only; Pallas custom calls are not counted"
+            )
     except Exception:
         pass  # cost_analysis is advisory; never fail the bench on it
 
@@ -146,43 +184,51 @@ def main():
     # duration prediction -> static bucket -> synthesis (the path a real
     # request takes; random weights predict short utterances, so this times
     # the small-bucket path + the extra encoder pass)
-    w = predict_lengths(model, variables, x, x_lengths)
-    pred = int(np.ceil(float(jnp.sum(jnp.ceil(w)))))
-    bucket = frame_bucket(fix_len_compatibility(pred))
+    try:
+        w = predict_lengths(model, variables, x, x_lengths)
+        pred = int(np.ceil(float(jnp.sum(jnp.ceil(w)))))
+        bucket = frame_bucket(fix_len_compatibility(pred))
 
-    def run_serving(k):
-        predict_lengths(model, variables, x, x_lengths)  # real path re-runs it
-        return synthesize_to_wav(
-            model, variables, vocoder, voc_vars, k, x, x_lengths,
-            n_timesteps=N_STEPS, max_frames=bucket,
-        )
+        def run_serving(k):
+            predict_lengths(model, variables, x, x_lengths)  # real path re-runs it
+            return synth(
+                model, variables, vocoder, voc_vars, k, x, x_lengths,
+                n_timesteps=N_STEPS, max_frames=bucket,
+            )
 
-    out_s = run_serving(base_key)
-    float(jnp.sum(out_s[0]))
-    elapsed_s, out_s = differential_time(run_serving, base_key, repeats=1)
-    frames_s = max(int(np.asarray(out_s[1]).max()), 1)
-    extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
-    extras["serving_bucket"] = bucket
-    extras["serving_frames"] = frames_s
+        out_s = run_serving(base_key)
+        float(jnp.sum(out_s[0]))
+        elapsed_s, out_s = differential_time(run_serving, base_key, repeats=1)
+        frames_s = max(int(np.asarray(out_s[1]).max()), 1)
+        extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
+        extras["serving_bucket"] = bucket
+        extras["serving_frames"] = frames_s
+    except Exception as e:
+        traceback.print_exc()
+        extras["serving_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---------------- scenario 3: batched serving (B=8) --------------------
-    B8 = 8
-    x8 = jnp.tile(x, (B8, 1))
-    xl8 = jnp.tile(x_lengths, (B8,))
-    dur8 = jnp.tile(durations, (B8, 1))
+    try:
+        B8 = 8
+        x8 = jnp.tile(x, (B8, 1))
+        xl8 = jnp.tile(x_lengths, (B8,))
+        dur8 = jnp.tile(durations, (B8, 1))
 
-    def run_b8(k):
-        return synthesize_to_wav(
-            model, variables, vocoder, voc_vars, k, x8, xl8,
-            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=dur8,
-        )
+        def run_b8(k):
+            return synth(
+                model, variables, vocoder, voc_vars, k, x8, xl8,
+                n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=dur8,
+            )
 
-    out8 = run_b8(base_key)
-    float(jnp.sum(out8[0]))
-    elapsed8, out8 = differential_time(run_b8, base_key, n_large=6, repeats=1)
-    audio8 = B8 * frames * 256 / 22050.0
-    extras["batched_rtf_per_utt"] = round(elapsed8 / audio8, 5)
-    extras["batched_speedup"] = round(rtf / (elapsed8 / audio8), 2)
+        out8 = run_b8(base_key)
+        float(jnp.sum(out8[0]))
+        elapsed8, out8 = differential_time(run_b8, base_key, n_large=6, repeats=1)
+        audio8 = B8 * frames * 256 / 22050.0
+        extras["batched_rtf_per_utt"] = round(elapsed8 / audio8, 5)
+        extras["batched_speedup"] = round(rtf / (elapsed8 / audio8), 2)
+    except Exception as e:
+        traceback.print_exc()
+        extras["batched_error"] = f"{type(e).__name__}: {e}"[:200]
 
     target = 0.02
     print(
