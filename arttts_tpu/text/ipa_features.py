@@ -14,7 +14,10 @@ The table is keyed by IPA segment string (combining tie bars included, e.g.
 Values are chosen so every segment in the supported inventory maps to a
 distinct vector; models in this framework are trained from scratch on these
 embeddings, so internal consistency (not bit-parity with panphon) is the
-contract. Extend `SEGMENTS` for additional language inventories.
+contract. Extend `SEGMENTS` for additional language inventories — or swap
+the whole table for panphon's actual values with `load_table(path)` (e.g.
+panphon's `ipa_all.csv`) to restore reference-trained ipa_trait checkpoint
+parity; see MIGRATION.md.
 """
 
 from __future__ import annotations
@@ -236,6 +239,98 @@ _MODIFIERS = {
 }
 
 
+# Pristine copy of the hand-authored table so `load_table` swaps are
+# reversible (tests, interactive use).
+_BUILTIN_SEGMENTS: Dict[str, Dict[str, int]] = {
+    k: dict(v) for k, v in SEGMENTS.items()
+}
+_MAX_SEG_LEN = max(len(k) for k in SEGMENTS)
+
+_VALUE_MAP = {"+": 1, "-": -1, "0": 0, "1": 1, "-1": -1, "": 0}
+
+
+def load_table(path: str, replace: bool = True) -> int:
+    """Swap the trait table for an external panphon-format feature table.
+
+    This is the drop-in point for restoring exact parity with
+    reference-trained ipa_trait checkpoints (v0/v1/v5/v6): the reference
+    embeds text with panphon's ternary vectors
+    (`/root/reference/src/text/converters.py:149-188`) and builds the
+    multilingual inventory from panphon's full segment list
+    (`/root/reference/src/voxcommunis/decoder.py:88-89`). panphon is not
+    vendorable here, but its data file is: pass panphon's ``ipa_all.csv``
+    (or ``ipa_bases.csv``) and every consumer of this module — converters,
+    the voxcommunis `FeatureDecoder`/`FeatureTokenizer`, and the datasets
+    built on them — follows the loaded values.
+
+    Accepted formats:
+      * ``.csv``: header row naming the segment column (``ipa``) and the 24
+        trait columns (panphon's names == `TRAITS`); values ``+``/``-``/``0``
+        (or ``1``/``-1``/``0``).  Extra columns are ignored; all 24 traits
+        must be present.
+      * ``.npz``: arrays ``segments`` (unicode) and ``values`` (n, 24) int.
+
+    ``replace=True`` (default) clears the built-in hand-authored table first
+    so ALL lookups flow through the file; ``replace=False`` merges, with the
+    file taking precedence.  The swap mutates the module-level ``SEGMENTS``
+    dict in place, so consumers that imported it by reference see it too —
+    but objects built BEFORE the call (e.g. a `FeatureDecoder`) keep their
+    snapshot: call `load_table` before constructing tokenizers/decoders.
+
+    Returns the number of segments loaded.  `reset_table()` restores the
+    built-in table.
+    """
+    import csv
+    import unicodedata
+
+    global _MAX_SEG_LEN
+
+    loaded: Dict[str, Dict[str, int]] = {}
+    if str(path).endswith(".npz"):
+        data = np.load(path, allow_pickle=False)
+        segs, vals = data["segments"], data["values"]
+        if vals.shape[1] != N_TRAITS:
+            raise ValueError(
+                f"values must have {N_TRAITS} columns, got {vals.shape[1]}"
+            )
+        for seg, row in zip(segs, vals):
+            loaded.setdefault(str(seg), dict(zip(TRAITS, (int(v) for v in row))))
+    else:
+        with open(path, newline="", encoding="utf-8") as fh:
+            reader = csv.DictReader(fh)
+            cols = reader.fieldnames or []
+            seg_col = next(
+                (c for c in cols if c.lower() in ("ipa", "segment")), cols[0]
+            )
+            missing = [t for t in TRAITS if t not in cols]
+            if missing:
+                raise ValueError(f"feature table missing trait columns: {missing}")
+            for rec in reader:
+                seg = rec[seg_col]
+                vals = {t: _VALUE_MAP[rec[t].strip()] for t in TRAITS}
+                # first occurrence is canonical (panphon order); register the
+                # NFD form too so either normalization matches
+                loaded.setdefault(seg, vals)
+                nfd = unicodedata.normalize("NFD", seg)
+                if nfd != seg:
+                    loaded.setdefault(nfd, vals)
+    if not loaded:
+        raise ValueError(f"no segments parsed from {path}")
+    if replace:
+        SEGMENTS.clear()
+    SEGMENTS.update(loaded)
+    _MAX_SEG_LEN = max(len(k) for k in SEGMENTS)
+    return len(loaded)
+
+
+def reset_table() -> None:
+    """Restore the built-in hand-authored trait table (undo `load_table`)."""
+    global _MAX_SEG_LEN
+    SEGMENTS.clear()
+    SEGMENTS.update({k: dict(v) for k, v in _BUILTIN_SEGMENTS.items()})
+    _MAX_SEG_LEN = max(len(k) for k in SEGMENTS)
+
+
 def segment_features(segment: str) -> Optional[np.ndarray]:
     """Trait vector for one IPA segment (with optional diacritics).
 
@@ -266,7 +361,8 @@ def word_features(word: str) -> Optional[np.ndarray]:
     """
     rows: List[np.ndarray] = []
     i = 0
-    max_len = 5  # longest segment strings incl. tie bars / modifiers
+    # longest key in the (possibly swapped) table, incl. tie bars/modifiers
+    max_len = max(_MAX_SEG_LEN, 5)
     while i < len(word):
         match = None
         for ln in range(min(max_len, len(word) - i), 0, -1):
