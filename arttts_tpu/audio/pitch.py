@@ -143,7 +143,16 @@ def track_pitch(wav: jnp.ndarray, config: PitchConfig = PitchConfig()):
         w = c.median_width
         pads = [(0, 0), (w // 2, w // 2)]
         fp = jnp.pad(f0, pads, mode="edge")
+        vp = jnp.pad(voiced, pads, mode="edge")
         stack = jnp.stack([fp[:, i : i + f0.shape[1]] for i in range(w)], axis=-1)
+        vstack = jnp.stack(
+            [vp[:, i : i + f0.shape[1]] for i in range(w)], axis=-1
+        )
+        # Median only over VOICED window entries: unvoiced neighbors hold the
+        # f0=0 filler, which would drag voiced frames at voicing onsets /
+        # offsets toward 0. Substituting the (always-voiced) center value for
+        # unvoiced entries removes them from the order statistic.
+        stack = jnp.where(vstack, stack, f0[..., None])
         f0 = jnp.where(voiced, jnp.median(stack, axis=-1), 0.0)
     return f0, voiced
 

@@ -77,7 +77,10 @@ def main(argv=None):
     save_dir = Path(args.save_dir)
     (save_dir / "emasrc").mkdir(parents=True, exist_ok=True)
     (save_dir / "spk_emb").mkdir(exist_ok=True)
-    if args.spk_preemb:
+    if args.spk_preemb or args.native:
+        # the native encoder only produces the 1024-d pre-projection vector,
+        # so its outputs always live under spk_preemb/ (artifact semantics
+        # match the reference job, which always writes spk_preemb/)
         (save_dir / "spk_preemb").mkdir(exist_ok=True)
 
     if args.dry_run:
@@ -167,6 +170,12 @@ def _encode_native(args, shard, save_dir: Path, log) -> None:
             wav, _sr = load_wav(path, target_sr=cfg.pitch.sample_rate)
             n = len(wav)
             cap = next((b for b in buckets if n <= b), buckets[-1])
+            if n > cap:
+                log.warning(
+                    "%s: %d samples exceed the largest bucket (%d = %.0f s);"
+                    " truncating — the reference encodes full length",
+                    path, n, cap, cap / cfg.pitch.sample_rate,
+                )
             pad = np.zeros((1, cap), np.float32)
             pad[0, :n] = wav[:cap]
             n_valid = enc.num_frames(min(n, cap))
@@ -174,12 +183,11 @@ def _encode_native(args, shard, save_dir: Path, log) -> None:
             mask = (np.arange(n_tot) < n_valid).astype(np.float32)[None]
             feats, spk = run(jnp.asarray(pad), jnp.asarray(mask))
             np.save(out_fp, np.asarray(feats)[0, :n_valid])
-            np.save(
-                save_dir
-                / ("spk_preemb" if args.spk_preemb else "spk_emb")
-                / f"{fid}.npy",
-                np.asarray(spk)[0],
-            )
+            # native backend: the speaker vector is the 1024-d PRE-projection
+            # embedding, so it is saved as spk_preemb/ regardless of the flag
+            # (the external-coder branch's unflagged path saves the coder's
+            # projected spk_emb — a different artifact)
+            np.save(save_dir / "spk_preemb" / f"{fid}.npy", np.asarray(spk)[0])
         except Exception as e:  # log-and-continue (reference behavior)
             log.error("failed on %s: %s", path, e)
 

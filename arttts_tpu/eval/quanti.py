@@ -108,6 +108,13 @@ def reencode_wavs(
         wav, _ = load_wav(str(wav_fp), target_sr=config.pitch.sample_rate)
         n = len(wav)
         cap = next((b for b in buckets if n <= b), buckets[-1])
+        if n > cap:
+            import logging
+
+            logging.getLogger("arttts_tpu.quanti").warning(
+                "%s: %d samples exceed the largest bucket (%d); truncating",
+                wav_fp, n, cap,
+            )
         pad = np.zeros((1, cap), np.float32)
         pad[0, :n] = wav[:cap]
         n_valid = enc.num_frames(min(n, cap))

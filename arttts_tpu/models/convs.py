@@ -68,6 +68,12 @@ def _conv_transpose_1d_polyphase(
     B, T, Cin = x.shape
     Cout = w.shape[1]
     s = stride
+    # the final slice reads y[padding : padding + out_len] from (T+1)*s
+    # frames; output_padding > padding would run past the buffer
+    assert output_padding <= padding, (
+        f"polyphase path requires output_padding ({output_padding}) <= "
+        f"padding ({padding}); use the lhs-dilated path"
+    )
     out_len = (T - 1) * s - 2 * padding + w.shape[-1] + output_padding
     # W2[0] takes x[t-1] (taps s..2s-1), W2[1] takes x[t] (taps 0..s-1)
     w2 = jnp.stack([w[..., s : 2 * s], w[..., 0:s]], axis=0)  # (2, Cin, Cout, s)
