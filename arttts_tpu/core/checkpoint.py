@@ -32,10 +32,22 @@ def save_checkpoint(
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    # collective in multi-process runs: every process calls save (orbax
+    # coordinates shard writes); only process 0 writes the metadata file
     ckptr.save(path, tree, force=True)
-    meta = {"step": int(step), "extra": extra or {}}
-    (path / "meta.json").write_text(json.dumps(meta))
+    if _process_index() == 0:
+        meta = {"step": int(step), "extra": extra or {}}
+        (path / "meta.json").write_text(json.dumps(meta))
     return str(path)
+
+
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
 
 
 def load_checkpoint(path: str, target: Any = None) -> Dict:
