@@ -36,11 +36,20 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+# The reference clips ONLY the encoder and decoder parameter groups
+# (train.py:176-181, train_v6.py:184-189); the speaker modules (v6's
+# SpeakerEncodingLayer, multi-spk GradTTS's embedding table) are never
+# clipped. Matching that exactly keeps training dynamics comparable
+# (verified by the convergence-parity studies).
+_UNCLIPPED_SUBMODULES = ("spk_encoder", "spk_table")
+
+
 def per_submodule_clip(max_norm: float) -> optax.GradientTransformation:
     """Clip gradient global-norm *per top-level submodule* to `max_norm`,
     mirroring the reference's separate encoder/decoder clip
-    (train.py:176-181). Returns the clipped updates and, as a side channel,
-    nothing — norms are recomputed in metrics if needed."""
+    (train.py:176-181). Speaker modules stay unclipped like the reference.
+    Returns the clipped updates and, as a side channel, nothing — norms are
+    recomputed in metrics if needed."""
 
     def init_fn(params):
         del params
@@ -55,7 +64,10 @@ def per_submodule_clip(max_norm: float) -> optax.GradientTransformation:
             return jax.tree_util.tree_map(lambda g: g * scale, subtree)
 
         # updates is a dict keyed by top-level submodule name
-        clipped = {k: clip_subtree(v) for k, v in updates.items()}
+        clipped = {
+            k: v if k in _UNCLIPPED_SUBMODULES else clip_subtree(v)
+            for k, v in updates.items()
+        }
         return clipped, state
 
     return optax.GradientTransformation(init_fn, update_fn)
