@@ -57,6 +57,7 @@ def test_mrf_stage_matches_resblocks(rng, C, T, kernel_sizes, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("packed_chain", [False, True])
 def test_hifigan_forward_fast_matches_module(rng, packed_chain, monkeypatch):
     """Full generator: Pallas-MRF fast path == vocoder.apply (all four
@@ -97,6 +98,7 @@ def test_mrf_stage_batch_sharded(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sparc_forward_fast_matches_module(rng):
     """SPARC FiLM generator: Pallas fast path == module apply (FiLM vectors
     threaded into the kernel; C=256 stage on the XLA fallback)."""

@@ -18,6 +18,7 @@ from arttts_tpu.voxcommunis.decoder import FeatureDecoder
 from arttts_tpu.voxcommunis.io import write_manifest
 
 
+@pytest.mark.slow
 def test_ms_trainer(tmp_path, rng):
     from arttts_tpu.audio.io import save_wav
     from arttts_tpu.data.ms_datasets import MsPhnmArticDataset

@@ -2,6 +2,7 @@
 concat + third U-Net channel, loss and sampling."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,7 @@ from arttts_tpu.models.tts import GradTTSModel
 from arttts_tpu.train.losses import grad_tts_loss
 
 
+@pytest.mark.slow
 def test_spk_table_path(rng):
     cfg = ModelConfig(
         name="grad_tts",

@@ -32,6 +32,7 @@ class OddDS:
         }
 
 
+@pytest.mark.slow
 def test_trainer_odd_length_init(tmp_path):
     cfg = ExperimentConfig(
         "odd",

@@ -8,6 +8,7 @@ from tests.test_cli import tiny_preset  # noqa: F401
 from tests.test_data_pipeline import CMU_PATH, corpus  # noqa: F401
 
 
+@pytest.mark.slow
 def test_pipeline_cli(corpus, tiny_preset, tmp_path):  # noqa: F811
     root, filelist = corpus
     from arttts_tpu.cli import pipeline as pipeline_cli

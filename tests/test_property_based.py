@@ -34,6 +34,7 @@ def test_mas_scan_matches_oracle_fuzz(B, T_x, extra, seed):
 
 @settings(max_examples=25, deadline=None)
 @given(st.integers(1, 3), st.integers(1, 12), st.integers(0, 2**31 - 1))
+@pytest.mark.slow
 def test_generate_path_partitions_frames(B, T_x, seed):
     rng = np.random.default_rng(seed)
     durations = rng.integers(1, 5, size=(B, T_x)).astype(np.float32)

@@ -216,6 +216,7 @@ def train_ours(params0, batches, n_steps=N_STEPS, seed=999):
     return state, np.asarray(hist)
 
 
+@pytest.mark.slow
 def test_training_convergence_parity(ref_small):
     torch, ref_model = ref_small
     from arttts_tpu.utils.torch_convert_acoustic import convert_grad_tts

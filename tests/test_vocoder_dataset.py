@@ -111,6 +111,7 @@ def test_fine_tuning_frame_alignment(tmp_path):
         assert np.all(diffs[col[1:] > 0] == 1.0)
 
 
+@pytest.mark.slow
 def test_train_vocoder_cli_smoke(tmp_path):
     """End-to-end CLI run: tiny generator, 2 GAN steps on real generated
     audio, checkpoint written, then a 1-step fine-tune from that checkpoint

@@ -8,6 +8,7 @@ from arttts_tpu.models.hifigan import HiFiGANGenerator
 from arttts_tpu.train.vocoder_trainer import VocoderGAN
 
 
+@pytest.mark.slow
 def test_vocoder_gan_step(rng):
     gen = HiFiGANGenerator(
         upsample_rates=(8, 8, 4),

@@ -116,6 +116,7 @@ def test_language_upsampler():
     assert frac_small > 1 / 6
 
 
+@pytest.mark.slow
 def test_ms_dataset_and_grad_ttartic_step(tmp_path, rng, tokenizer):
     """Synthetic voxcommunis layout -> MsPhnmArticDataset -> one GradTTArtic
     training step."""
