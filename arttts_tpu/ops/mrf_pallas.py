@@ -112,17 +112,21 @@ def _shift_packed(x, delta: int, r: int, C: int, q_idx):
 
 
 def _conv_packed(x, w_flat, bias, k: int, d: int, r: int, C: int, q_idx,
-                 rw: int):
+                 rw: int, bf16: bool = False):
     """SAME dilated conv on a lane-packed haloed tile: k full-width dots.
-    `rw` is the packed row width (128 for C <= 128, C itself above)."""
+    `rw` is the packed row width (128 for C <= 128, C itself above).
+    With `bf16`, the dot inputs are bfloat16 (weights arrive pre-cast) with
+    f32 accumulation — the MXU's native mode, ~2x the f32 3-pass rate."""
     pad = (k - 1) // 2 * d
+    if bf16:
+        x = x.astype(jnp.bfloat16)
     out = None
     for j in range(k):
         shifted = _shift_packed(x, j * d - pad, r, C, q_idx)
         w = w_flat[j * rw : (j + 1) * rw, :]
         part = jnp.dot(shifted, w, preferred_element_type=jnp.float32)
         out = part if out is None else out + part
-    return out + bias[None, :]
+    return out + bias[None, :].astype(jnp.float32)
 
 
 def _mrf_kernel(
@@ -157,6 +161,7 @@ def _mrf_kernel(
     dma.wait()
 
     x0 = xs[:]
+    bf16 = w_refs[0].dtype == jnp.bfloat16
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, rw), 1)
     q_idx = jnp.minimum(lane // C, r - 1)
     # Frames outside the sequence must read as zero into EVERY conv (the
@@ -171,9 +176,11 @@ def _mrf_kernel(
         xb = x0
         for di, d in enumerate(dilations):
             xt = _lrelu(xb)
-            xt = _conv_packed(xt, w1s[di], b1s[di], k, d, r, C, q_idx, rw) * valid
+            xt = _conv_packed(
+                xt, w1s[di], b1s[di], k, d, r, C, q_idx, rw, bf16
+            ) * valid
             xt = _lrelu(xt)
-            xt = _conv_packed(xt, w2s[di], b2s[di], k, 1, r, C, q_idx, rw)
+            xt = _conv_packed(xt, w2s[di], b2s[di], k, 1, r, C, q_idx, rw, bf16)
             if has_film:
                 # speaker FiLM: xt * a + b_ (sparc_block.py:177-204), then
                 # the sequence-edge zero like every other conv output
@@ -184,9 +191,9 @@ def _mrf_kernel(
     out_ref[0] = acc[H : H + T_b, :] * (1.0 / n_br)
 
 
-def _weight_bytes(kernel_sizes, dilations, C: int) -> int:
+def _weight_bytes(kernel_sizes, dilations, C: int, itemsize: int = 4) -> int:
     rw = max(C, LANES)  # kron-packed below 128 lanes, plain above
-    return 2 * len(dilations) * sum(kernel_sizes) * rw * rw * 4
+    return 2 * len(dilations) * sum(kernel_sizes) * rw * rw * itemsize
 
 
 # C > 128 keeps 33 MB of weights resident (v5e physical VMEM holds it —
@@ -215,7 +222,8 @@ def mrf_supported(C: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5)) -> bool:
     )
 
 
-def _pick_tile(rows: int, H: int, kernel_sizes, dilations, C: int) -> int:
+def _pick_tile(rows: int, H: int, kernel_sizes, dilations, C: int,
+               itemsize: int = 4) -> int:
     """Largest power-of-two packed-row tile dividing `rows` whose estimated
     compiler working set — resident weights + N_LIVE_BUFFERS live
     (T_b + 2H, rw) f32 buffers — fits under the VMEM budget.  The estimate
@@ -228,8 +236,11 @@ def _pick_tile(rows: int, H: int, kernel_sizes, dilations, C: int) -> int:
 
     rw = max(C, LANES)
     budget = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES
-    avail = budget - _weight_bytes(kernel_sizes, dilations, C)
+    w_bytes = _weight_bytes(kernel_sizes, dilations, C, itemsize)
+    avail = budget - w_bytes
     assert avail > 0, "mrf_supported should have rejected this config"
+    # live tile buffers are modeled at f32 regardless of the dot dtype
+    # (activations stay f32; bf16 copies only shrink the true footprint)
     max_rows = avail // (N_LIVE_BUFFERS * 4 * rw) - 2 * H  # L = T_b + 2H
     tile = 1 << int(np.log2(max(max_rows, 64)))
     tile = min(tile, 1 << int(np.log2(rows)))
@@ -240,13 +251,10 @@ def _pick_tile(rows: int, H: int, kernel_sizes, dilations, C: int) -> int:
         t = int(env)
         if rows % t == 0:
             tile = t
-    est = _weight_bytes(kernel_sizes, dilations, C) + N_LIVE_BUFFERS * 4 * rw * (
-        tile + 2 * H
-    )
+    est = w_bytes + N_LIVE_BUFFERS * 4 * rw * (tile + 2 * H)
     assert est <= budget, (
         f"MRF tile {tile} estimated VMEM {est/2**20:.1f} MiB exceeds budget "
-        f"{budget/2**20:.1f} MiB (weights "
-        f"{_weight_bytes(kernel_sizes, dilations, C)/2**20:.1f} MiB, H={H})"
+        f"{budget/2**20:.1f} MiB (weights {w_bytes/2**20:.1f} MiB, H={H})"
     )
     return tile
 
@@ -260,6 +268,7 @@ def _mrf_stage_impl(
     film,
     channels: int = 0,
     packed_out: bool = False,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     # channels != 0 marks lane-packed input (B, rows, 128) holding
     # 128 // channels frames per row (the representation the stage-chained
@@ -294,13 +303,21 @@ def _mrf_stage_impl(
             film = tuple(jnp.tile(f, (1, 1, 1, r)) for f in film)
         if not channels:
             x = x.reshape(B, rows_total, LANES)
+    if bf16:
+        # weight matrices pre-cast so the kernel's dots run in the MXU's
+        # native bf16 mode with f32 accumulation; biases/FiLM stay f32
+        weights = tuple(
+            w.astype(jnp.bfloat16) if w.ndim == 3 else w for w in weights
+        )
 
     H_rf = _halo_rf(kernel_sizes, dilations)
     # packed-row halo: receptive field plus one carry row per conv, aligned
     # to the f32 sublane tile
     n_convs = 2 * len(dilations)
     H = -(-(H_rf // r + n_convs + 4) // 8) * 8
-    T_b = _pick_tile(rows_total, H, kernel_sizes, dilations, C)
+    T_b = _pick_tile(
+        rows_total, H, kernel_sizes, dilations, C, itemsize=2 if bf16 else 4
+    )
     n_tiles = rows_total // T_b
     x_pad = jnp.pad(x, ((0, 0), (H, H), (0, 0)))
 
@@ -341,7 +358,7 @@ def _mrf_stage_impl(
 
 
 def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film,
-                     channels=0, packed_out=False):
+                     channels=0, packed_out=False, bf16=False):
     """GSPMD partitioning: the stage is independent per batch row, so under
     a sharded mesh each device runs the kernel on its local batch shard
     (weights replicated, FiLM vectors batch-sharded on their axis 2) —
@@ -352,7 +369,7 @@ def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film,
         film = (wf[n_w], wf[n_w + 1]) if has_film else None
         return _mrf_stage_impl(
             x, tuple(weights), kernel_sizes, dilations, interpret, film,
-            channels=channels, packed_out=packed_out,
+            channels=channels, packed_out=packed_out, bf16=bf16,
         )
 
     fn = custom_partitioning(run)
@@ -399,7 +416,8 @@ def _mrf_partitioned(kernel_sizes, dilations, interpret, n_w, has_film,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kernel_sizes", "dilations", "interpret", "channels", "packed_out"
+        "kernel_sizes", "dilations", "interpret", "channels", "packed_out",
+        "bf16",
     ),
 )
 def mrf_stage(
@@ -411,6 +429,7 @@ def mrf_stage(
     film=None,
     channels: int = 0,
     packed_out: bool = False,
+    bf16=None,
 ) -> jnp.ndarray:
     """One full MRF stage: (B, T, C) -> (B, T, C), C <= 128, C | 128.
 
@@ -421,11 +440,18 @@ def mrf_stage(
     (the SPARC articulatory vocoder's speaker modulation).  Batch-sharded
     inputs partition per device (`_mrf_partitioned`).
     """
+    if bf16 is None:
+        # opt-in bf16 dot path (ARTTTS_MRF_BF16=1): ~2x MXU rate and half
+        # the resident weight VMEM; default f32 keeps reference bit-band
+        # parity. Env is read at trace time — set it before the first call.
+        import os
+
+        bf16 = os.environ.get("ARTTTS_MRF_BF16", "0") not in ("", "0")
     n_w = len(weights)
     has_film = film is not None
     fn = _mrf_partitioned(
         tuple(kernel_sizes), tuple(dilations), interpret, n_w, has_film,
-        channels=channels, packed_out=packed_out,
+        channels=channels, packed_out=packed_out, bf16=bf16,
     )
     args = tuple(weights) + (tuple(film) if has_film else ())
     return fn(x, *args)

@@ -132,3 +132,26 @@ def test_mrf_stage_tile_seams(rng):
                   interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_mrf_stage_bf16_tracks_f32(rng):
+    """Opt-in bf16 dot path (ARTTTS_MRF_BF16 / bf16=True): same math at
+    bfloat16 matmul precision with f32 accumulation — must track the f32
+    kernel within bf16 rounding bands through a full stage (18 convs of
+    residual accumulation)."""
+    C, T = 64, 512
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    params = _init_blocks(jax.random.PRNGKey(5), C, kernel_sizes, dilations)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32))
+    weights = pack_mrf_weights(params, C)
+    f32 = np.asarray(
+        mrf_stage(x, weights, kernel_sizes, dilations, interpret=True,
+                  bf16=False)
+    )
+    b16 = np.asarray(
+        mrf_stage(x, weights, kernel_sizes, dilations, interpret=True,
+                  bf16=True)
+    )
+    rel = np.abs(b16 - f32) / (np.abs(f32).mean() + 1e-6)
+    assert rel.max() < 0.05, rel.max()
+    assert np.sqrt(((b16 - f32) ** 2).mean()) < 0.01 * np.abs(f32).std()
