@@ -154,7 +154,9 @@ def synthesize(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "vocoder", "n_timesteps", "max_frames", "stoc"),
+    static_argnames=(
+        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver"
+    ),
 )
 def synthesize_to_wav(
     model,
@@ -170,6 +172,7 @@ def synthesize_to_wav(
     stoc: bool = False,
     spk=None,
     x_durations=None,
+    solver: str = "euler",
 ):
     """End-to-end text -> waveform in ONE jitted program (acoustic sampler +
     vocoder). One device dispatch per utterance/batch — the full serving
@@ -186,6 +189,7 @@ def synthesize_to_wav(
         stoc=stoc,
         spk=spk,
         x_durations=x_durations,
+        solver=solver,
     )
     from arttts_tpu.models.hifigan import HiFiGANGenerator, hifigan_forward_fast
     from arttts_tpu.ops.mrf_pallas import mrf_runtime_enabled

@@ -230,6 +230,25 @@ def main():
         traceback.print_exc()
         extras["batched_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # ---------------- scenario 4: Heun fast path (15 steps) ----------------
+    # opt-in 2nd-order sampler: quality gated vs Euler@50 by
+    # tests/test_heun_sampler.py::test_heun15_quality_gate_vs_euler50
+    try:
+        def run_heun(k):
+            return synth(
+                model, variables, vocoder, voc_vars, k, x, x_lengths,
+                n_timesteps=15, max_frames=MAX_FRAMES, x_durations=durations,
+                solver="heun",
+            )
+
+        out_h = run_heun(base_key)
+        float(jnp.sum(out_h[0]))
+        elapsed_h, _ = differential_time(run_heun, base_key, repeats=1)
+        extras["heun15_rtf"] = round(elapsed_h / audio_seconds, 5)
+    except Exception as e:
+        traceback.print_exc()
+        extras["heun_error"] = f"{type(e).__name__}: {e}"[:200]
+
     target = 0.02
     print(
         json.dumps(
