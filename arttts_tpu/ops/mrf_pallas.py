@@ -55,17 +55,20 @@ LANES = 128
 # The compiler's scoped-VMEM stack for this kernel is empirically
 #     usage ≈ weight_bytes + c_row * L        (L = T_b + 2H packed rows)
 # Calibration point (the r02 crash): C=64, rw=128, T_b=8192, H=40
-# ⇒ L=8272, weights 33.03 MB, reported usage "117.54M" ⇒ c_row ≈ 10.9 kB/row
-# ≈ 21 live (L, rw)-f32 buffers.  N_LIVE_BUFFERS=26 gives ~25% margin over
-# that liveness, and VMEM_SLACK_BYTES reserves fixed headroom under the
-# limit we pass the compiler.  `_pick_tile` asserts the invariant
+# ⇒ L=8272, weights 8.26 MB (the crash dump's operand shapes sum to
+# 2*3*21*128*128 f32), reported usage "117.54M" ⇒ c_row ≈ 13.2 kB/row
+# ≈ 25.8 live (L, rw)-f32 buffers.  N_LIVE_BUFFERS=28 gives ~9% margin over
+# that measured liveness, and VMEM_SLACK_BYTES reserves fixed headroom under
+# the limit we pass the compiler.  `_pick_tile` asserts the invariant
 #     weight_bytes + N_LIVE*4*rw*(T_b + 2H) <= VMEM_LIMIT - SLACK
 # for every tile it returns, and `mrf_supported` uses the same budget to
 # bound resident weights — nothing else in this file sizes VMEM.
+# Hardware check (r3): auto tile 4096 (predicted 65 MB) compiled and ran,
+# 10.38 ms full vocoder.
 # ---------------------------------------------------------------------------
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # passed to the compiler
 VMEM_SLACK_BYTES = 12 * 1024 * 1024  # headroom for compiler-managed temps
-N_LIVE_BUFFERS = 26  # calibrated live (L, rw) f32 buffers (see above)
+N_LIVE_BUFFERS = 28  # measured 25.8 live (L, rw) f32 buffers + margin
 
 
 def mrf_runtime_enabled() -> bool:
