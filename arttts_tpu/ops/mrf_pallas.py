@@ -32,6 +32,7 @@ factors) and the full-generator fast path is compared against
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -204,8 +205,11 @@ def _weight_bytes(kernel_sizes, dilations, C: int, itemsize: int = 4) -> int:
 # hardware it LOSES to XLA (1.88 vs 1.39 ms for the C=256 stage): with no
 # lane padding at 256 channels XLA's conv emitters are already near-peak,
 # and the small stage-1 tensors cannot amortize the resident weights.
-# Kept available for experimentation, off in serving.
-ALLOW_WIDE_CHANNELS = False
+# Off in serving; ARTTTS_MRF_WIDE=1 re-enables for experiments (e.g. with
+# the bf16 dot path, which halves the resident weights).
+ALLOW_WIDE_CHANNELS = os.environ.get(
+    "ARTTTS_MRF_WIDE", "0"
+) not in ("", "0")
 
 
 def mrf_supported(C: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5)) -> bool:
