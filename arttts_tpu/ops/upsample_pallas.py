@@ -91,10 +91,13 @@ def build_packed_ups_matrix(
     return w_packed, b_packed
 
 
+HALO = 8  # sublane-tile-aligned halo (only rows +-1 are actually consumed)
+
+
 def _ups_kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem, *, T_b, rows_total):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    L = T_b + 2
+    L = T_b + 2 * HALO
     dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * T_b, L), :], xs, sem)
     dma.start()
     dma.wait()
@@ -103,10 +106,20 @@ def _ups_kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem, *, T_b, rows_total):
     # zero rows outside the sequence (the padded halo is already zero; this
     # guards the roll-in at global edges)
     row = jax.lax.broadcasted_iota(jnp.int32, (L, LANES), 0)
-    g = i * T_b + row - 1
+    g = i * T_b + row - HALO
     a = a * ((g >= 0) & (g < rows_total)).astype(a.dtype)
-    cat = jnp.concatenate([a[:-2], a[1:-1], a[2:]], axis=-1)  # (T_b, 384)
-    out = jnp.dot(cat, w_ref[:], preferred_element_type=jnp.float32)
+    # output row t consumes input rows (t-1, t, t+1) = xs rows
+    # (t+HALO-1, t+HALO, t+HALO+1). Bring each tap to offset 0 with a
+    # sublane roll and contract against its (128, 128) block of the packed
+    # map — Mosaic cannot lane-concatenate sublane-offset slices (the
+    # r02-era concat formulation failed hardware compile), and three K=128
+    # dots need no concatenated operand at all.
+    out = None
+    for j in range(3):
+        tap = pltpu.roll(a, (-(HALO - 1 + j)) % L, axis=0)[:T_b]
+        w = w_ref[j * LANES : (j + 1) * LANES, :]
+        part = jnp.dot(tap, w, preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
     out_ref[0] = out + b_ref[:][None, :]
 
 
@@ -139,7 +152,7 @@ def upsample_packed(
     T_b = 2048
     while rows % T_b:
         T_b //= 2
-    x_pad = jnp.pad(x_packed, ((0, 0), (1, 1), (0, 0)))
+    x_pad = jnp.pad(x_packed, ((0, 0), (HALO, HALO), (0, 0)))
     kern = functools.partial(_ups_kernel, T_b=T_b, rows_total=rows)
     return pl.pallas_call(
         kern,
@@ -154,7 +167,7 @@ def upsample_packed(
         ),
         out_shape=jax.ShapeDtypeStruct((B, rows, LANES), x_packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((T_b + 2, LANES), jnp.float32),
+            pltpu.VMEM((T_b + 2 * HALO, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
