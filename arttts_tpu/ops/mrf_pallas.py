@@ -120,13 +120,15 @@ def _conv_packed(x, w_flat, bias, k: int, d: int, r: int, C: int, q_idx,
     """SAME dilated conv on a lane-packed haloed tile: k full-width dots.
     `rw` is the packed row width (128 for C <= 128, C itself above).
     With `bf16`, the dot inputs are bfloat16 (weights arrive pre-cast) with
-    f32 accumulation — the MXU's native mode, ~2x the f32 3-pass rate."""
+    f32 accumulation — the MXU's native mode, ~2x the f32 3-pass rate.
+    The cast happens AFTER the shift: Mosaic has no bf16 dynamic_rotate
+    lowering (hardware-compile finding, r3)."""
     pad = (k - 1) // 2 * d
-    if bf16:
-        x = x.astype(jnp.bfloat16)
     out = None
     for j in range(k):
         shifted = _shift_packed(x, j * d - pad, r, C, q_idx)
+        if bf16:
+            shifted = shifted.astype(jnp.bfloat16)
         w = w_flat[j * rw : (j + 1) * rw, :]
         part = jnp.dot(shifted, w, preferred_element_type=jnp.float32)
         out = part if out is None else out + part

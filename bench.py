@@ -119,6 +119,13 @@ def main():
     base_key = jax.random.PRNGKey(1)
     synth = synthesize_to_wav
     run = make_run(synth)
+    import arttts_tpu.ops.upsample_pallas as _ups
+
+    extras["gates"] = {
+        "packed_chain": _ups.ENABLE_PACKED_CHAIN,
+        "mrf_bf16": os.environ.get("ARTTTS_MRF_BF16", "0") not in ("", "0"),
+        "mrf_tile": os.environ.get("ARTTTS_MRF_TILE", "auto"),
+    }
     try:
         out = run(base_key)
         float(jnp.sum(out[0]))  # compile + full device sync
