@@ -506,6 +506,9 @@ def sparc_forward_fast(
             + pp["bias"]
         )
 
+    import arttts_tpu.ops.upsample_pallas as _ups
+    from arttts_tpu.ops.upsample_pallas import upsample_packed
+
     pitch = (c[..., g.pitch_axis] - g.pitch_offset) * g.pitch_rescale
     c = c.at[..., g.pitch_axis].set(pitch)
     x = conv1d(c, p["input_conv"])
@@ -526,17 +529,52 @@ def sparc_forward_fast(
             b_list.append(f[:, C:])
         return jnp.stack(a_list), jnp.stack(b_list)
 
+    ch = x.shape[-1]
+    packed = False  # x is (B, rows, 128) with 128 // ch frames per row
     for i, (u, k) in enumerate(zip(g.upsample_scales, g.upsample_kernel_sizes)):
-        x = leaky_relu(x)
         up = p[f"upsample_{i}"]
+        ch_out = up["weight"].shape[1]
+        mrf_ok = g.use_spk and uniform and g.use_additional_convs
+        # stage-chained packed path, same as hifigan_forward_fast: the s=2
+        # upsamples between 128-lane stages stay in the packed layout
+        # (SPARC pad u//2 + u%2 == 1 == the mel path's (k-u)//2 for u=2/k=4)
+        chain = (
+            _ups.ENABLE_PACKED_CHAIN
+            and u == 2 and k == 4 and ch <= 128 and 128 % ch == 0
+            and ch_out * 2 == ch and mrf_ok and mrf_supported(ch_out, rks, dils)
+        )
+        if chain:
+            if not packed:
+                assert ch == 128, ch
+            x = upsample_packed(
+                x, up["weight"], up["bias"], u, u // 2 + u % 2,
+                r_in=128 // ch, r_out=128 // ch_out, interpret=interpret,
+            )
+            packed = True
+            ch = ch_out
+            block_ps = [p[f"block_{i}_{j}"] for j in range(num_blocks)]
+            weights = pack_mrf_weights(block_ps, ch)
+            films = [film_vectors(bp, len(dils), ch) for bp in block_ps]
+            fa = jnp.stack([f[0] for f in films])
+            fb = jnp.stack([f[1] for f in films])
+            last = i == len(g.upsample_scales) - 1
+            x = mrf_stage(
+                x, weights, rks, dils, interpret=interpret, film=(fa, fb),
+                channels=ch, packed_out=not last,
+            )
+            if last:
+                packed = False
+            continue
+        if packed:  # unpack before a non-chained stage
+            B_, rows_, _ = x.shape
+            x = x.reshape(B_, rows_ * (128 // ch), ch)
+            packed = False
+        x = leaky_relu(x)
         x = conv_transpose_1d(
             x, up["weight"], u, u // 2 + u % 2, output_padding=u % 2
         ) + up["bias"]
         ch = x.shape[-1]
-        if (
-            g.use_spk and uniform and g.use_additional_convs
-            and mrf_supported(ch, rks, dils)
-        ):
+        if mrf_ok and mrf_supported(ch, rks, dils):
             block_ps = [p[f"block_{i}_{j}"] for j in range(num_blocks)]
             weights = pack_mrf_weights(block_ps, ch)
             films = [film_vectors(bp, len(dils), ch) for bp in block_ps]

@@ -99,14 +99,19 @@ def test_mrf_stage_batch_sharded(rng):
 
 
 @pytest.mark.slow
-def test_sparc_forward_fast_matches_module(rng):
+@pytest.mark.parametrize("packed_chain", [False, True])
+def test_sparc_forward_fast_matches_module(rng, packed_chain, monkeypatch):
     """SPARC FiLM generator: Pallas fast path == module apply (FiLM vectors
-    threaded into the kernel; C=256 stage on the XLA fallback)."""
+    threaded into the kernel; C=256 stage on the XLA fallback), with and
+    without the stage-chained packed upsample path."""
+    import arttts_tpu.ops.upsample_pallas as ups
+
     from arttts_tpu.models.hifigan import (
         SpkSparcHiFiGANGenerator,
         spk_sparc_forward_fast,
     )
 
+    monkeypatch.setattr(ups, "ENABLE_PACKED_CHAIN", packed_chain)
     module = SpkSparcHiFiGANGenerator()
     c = jnp.asarray(rng.standard_normal((1, 8, 14)).astype(np.float32))
     spk_ft = jnp.asarray(rng.standard_normal((1, 1024)).astype(np.float32))
