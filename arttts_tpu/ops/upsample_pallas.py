@@ -32,7 +32,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 LANES = 128
 LRELU_SLOPE = 0.1
@@ -149,7 +154,12 @@ def upsample_packed(
     w_packed, b_packed = build_packed_ups_matrix(
         w, bias, stride, padding, r_in, r_out
     )
+    fn = _ups_partitioned(interpret)
+    return fn(x_packed, w_packed, b_packed)
 
+
+def _ups_impl(x_packed, w_packed, b_packed, interpret: bool):
+    B, rows, _ = x_packed.shape
     T_b = 2048
     while rows % T_b:
         T_b //= 2
@@ -173,3 +183,38 @@ def upsample_packed(
         ],
         interpret=interpret,
     )(x_pad, w_packed, b_packed)
+
+
+@functools.lru_cache(maxsize=None)
+def _ups_partitioned(interpret: bool):
+    """GSPMD rule: independent per batch row — each device runs the kernel
+    on its local batch shard, weights replicated (same policy as
+    `mrf_pallas._mrf_partitioned`)."""
+
+    def run(x, w, b):
+        return _ups_impl(x, w, b, interpret)
+
+    fn = custom_partitioning(run)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        x_sh = NamedSharding(mesh, P(batch, None, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        rep1 = NamedSharding(mesh, P(None))
+        return mesh, run, x_sh, (x_sh, rep2, rep1)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_axis(arg_shapes), None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule=SdyShardingRule(
+            (("b", "r", "l"), ("wk", "wn"), ("bl",)), (("b", "r", "l"),)
+        ),
+    )
+    return fn

@@ -66,3 +66,28 @@ def test_upsample_packed_tile_seams(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_upsample_packed_batch_sharded(rng):
+    """Under an 8-device data mesh the packed upsample partitions per batch
+    shard (custom_partitioning rule) and matches the unsharded result."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from arttts_tpu.ops.upsample_pallas import upsample_packed
+
+    cin, cout, stride = 128, 64, 2
+    w = jnp.asarray(
+        rng.standard_normal((cin, cout, 2 * stride)).astype(np.float32) * 0.2
+    )
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 256, 128)).astype(np.float32))
+    want = np.asarray(
+        upsample_packed(x, w, bias, stride, 1, r_in=1, r_out=2, interpret=True)
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    got = np.asarray(
+        upsample_packed(xs, w, bias, stride, 1, r_in=1, r_out=2, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
