@@ -143,7 +143,8 @@ def main():
             jax.jit(
                 synthesize_to_wav.__wrapped__,
                 static_argnames=(
-                    "model", "vocoder", "n_timesteps", "max_frames", "stoc"
+                    "model", "vocoder", "n_timesteps", "max_frames", "stoc",
+                    "solver",
                 ),
             )
         )
