@@ -24,8 +24,11 @@ def main(argv=None):
     parser.add_argument("--mel-cache")
     parser.add_argument("--save-dir", required=True)
     parser.add_argument("--n-timesteps", type=int, default=50)
-    parser.add_argument("--solver", choices=["euler", "heun"], default="euler",
-                        help="heun: 2nd-order ODE solver (fewer steps needed)")
+    parser.add_argument("--solver", choices=["euler", "heun", "dpm"],
+                        default="euler",
+                        help="heun: 2nd-order ODE solver (2 evals/step); "
+                             "dpm: DPM-Solver++(2M), 1 eval/step — fewest "
+                             "evals for the same ODE solution")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--length-scale", type=float, default=1.0)
     parser.add_argument("--use-align", action="store_true",

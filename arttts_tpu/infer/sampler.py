@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from arttts_tpu.models.diffusion_sde import get_noise
 from arttts_tpu.ops.shape import fix_len_compatibility, generate_path, sequence_mask
@@ -95,6 +96,96 @@ def reverse_diffusion_heun(
     return jax.lax.fori_loop(0, n_timesteps, body, z * mask)
 
 
+def reverse_diffusion_dpm2m(
+    model,
+    variables,
+    z,
+    mask,
+    mu,
+    n_timesteps: int,
+    spk=None,
+    t_end: float = 1e-2,
+):
+    """DPM-Solver++(2M) for the probability-flow ODE — a beyond-reference
+    fast path: ONE score evaluation per step (multistep second order), so
+    ~10 evals reach what the reference's Euler sampler
+    (`/root/reference/src/model/diffusion.py:302-324`) needs 50 for.
+
+    The GradTTS SDE is VP around the encoder prior: with y = x - mu,
+    alpha_t = exp(-0.5*Lambda(t)), sigma_t = sqrt(1 - exp(-Lambda(t))),
+    Lambda the cumulative noise (`models/diffusion_sde.py:get_noise`), the
+    model's score output s gives the noise prediction eps = -sigma_t * s and
+    the data prediction x0 = (y + sigma_t^2 * s) / alpha_t. The standard
+    exponential-integrator update (Lu et al. 2022, DPM-Solver++ Eq. 4.3)
+    then applies verbatim on a uniform log-SNR grid from t=1 to `t_end`,
+    with a first-order denoise-to-x0 final step (`lower_order_final`).
+
+    `n_timesteps` counts model evaluations (>= 2). All schedule constants
+    are trace-time numpy — the jitted program is a scan over N-1 steps.
+    """
+    if n_timesteps < 2:
+        raise ValueError("dpm solver needs n_timesteps >= 2")
+    dec = model.config.decoder
+    bmin, bmax = float(dec.beta_min), float(dec.beta_max)
+    bd = bmax - bmin
+    B = z.shape[0]
+
+    def lam_of_t(t):
+        big_l = bmin * t + 0.5 * bd * t * t
+        return np.log(np.exp(-0.5 * big_l) / np.sqrt(-np.expm1(-big_l)))
+
+    lams = np.linspace(lam_of_t(1.0), lam_of_t(t_end), n_timesteps)
+    # invert lambda -> t: Lambda = log(1 + e^{-2 lambda}); quadratic in t
+    big_ls = np.logaddexp(0.0, -2.0 * lams)
+    ts = (-bmin + np.sqrt(bmin * bmin + 2.0 * bd * big_ls)) / bd
+    alphas = np.exp(-0.5 * big_ls)
+    sigmas = np.sqrt(-np.expm1(-big_ls))
+    hs = np.diff(lams)  # positive: lambda increases toward t=0
+
+    # per-step constants for the scan (steps i = 0 .. N-2)
+    n_upd = n_timesteps - 1
+    a = np.ones(n_upd)
+    b = np.zeros(n_upd)
+    r = hs[:-1] / hs[1:]
+    a[1:] = 1.0 + 1.0 / (2.0 * r)
+    b[1:] = -1.0 / (2.0 * r)
+    consts = jnp.asarray(
+        np.stack(
+            [
+                ts[:-1],
+                sigmas[:-1],
+                alphas[:-1],
+                sigmas[1:] / sigmas[:-1],
+                alphas[1:] * np.expm1(-hs),
+                a,
+                b,
+            ],
+            axis=1,
+        ),
+        z.dtype,
+    )
+
+    def score_x0(y, t_scalar, sig, alp):
+        t = t_scalar * jnp.ones((B,), z.dtype)
+        s = model.apply(
+            variables, (mu + y) * mask, mask, mu, t, spk, method="estimate_noise"
+        )
+        return (y + sig * sig * s) / alp
+
+    def step(carry, c):
+        y, x0_prev = carry
+        t_i, sig_i, alp_i, sig_ratio, alp_em1, a_i, b_i = c
+        x0 = score_x0(y, t_i, sig_i, alp_i)
+        d = a_i * x0 + b_i * x0_prev
+        y_new = (sig_ratio * y - alp_em1 * d) * mask
+        return (y_new, x0), None
+
+    y0 = (z - mu) * mask
+    (y_end, _), _ = jax.lax.scan(step, (y0, y0), consts)
+    x0_final = score_x0(y_end, float(ts[-1]), float(sigmas[-1]), float(alphas[-1]))
+    return (mu + x0_final) * mask
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "n_timesteps", "max_frames", "stoc", "solver"),
@@ -143,6 +234,10 @@ def synthesize(
     z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature
     if solver == "heun":
         dec_out = reverse_diffusion_heun(
+            model, variables, z, y_mask, mu_y, n_timesteps, spk
+        )
+    elif solver == "dpm":
+        dec_out = reverse_diffusion_dpm2m(
             model, variables, z, y_mask, mu_y, n_timesteps, spk
         )
     else:
