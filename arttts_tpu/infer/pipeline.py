@@ -218,6 +218,8 @@ def run_mel_vocoder(
     (vocoder_inference.py:137-141)."""
     from arttts_tpu.audio.io import save_wav
 
+    from arttts_tpu.infer.chunked import vocode_chunked
+
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     apply = jax.jit(lambda v, m: generator.apply(v, m))
@@ -225,7 +227,8 @@ def run_mel_vocoder(
     for p in artifact_paths:
         arr = np.load(p)
         _, dec, _ = split_acoustic_artifact(arr, n_feats=80)
-        wav = np.asarray(apply(gen_variables, jnp.asarray(dec[None])))[0, :, 0]
+        # fixed-shape windows: one compile serves every artifact length
+        wav = vocode_chunked(apply, gen_variables, dec.astype(np.float32))
         out = save_dir / (Path(p).stem + ".wav")
         save_wav(out, wav, sample_rate)
         saved.append(str(out))
@@ -279,14 +282,17 @@ def run_sparc_vocoder(
         )
     else:
         apply = jax.jit(lambda v, c, s: generator.apply(v, c, s))
+    from arttts_tpu.infer.chunked import vocode_chunked
+
     saved = []
     for p in artifact_paths:
         arr = np.load(p)
         _, dec, _ = split_acoustic_artifact(arr, n_feats=14)
         dec = denormalize_sparc_features(dec, pitch_stats, loudness_stats)
-        wav = np.asarray(
-            apply(gen_variables, jnp.asarray(dec[None]), jnp.asarray(spk_ft[None]))
-        )[0, :, 0]
+        # fixed-shape windows: one compile serves every artifact length
+        wav = vocode_chunked(
+            apply, gen_variables, dec.astype(np.float32), spk=spk_ft
+        )
         out = save_dir / (Path(p).stem + ".wav")
         save_wav(out, wav, sample_rate)
         saved.append(str(out))
