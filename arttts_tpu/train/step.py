@@ -141,10 +141,15 @@ def make_train_step(
     if mesh is not None:
         b = batch_sharding(mesh)
         r = replicated(mesh)
+        # State shardings are inherited from the caller's committed layout:
+        # `replicate(mesh, state)` gives plain DP; `shard_tp(mesh, state)`
+        # (parallel/tp.py) lays params + Adam moments out over the "model"
+        # axis and GSPMD partitions the matmuls/convs accordingly. Pinning
+        # the state replicated here would silently gather a TP state back.
         return jax.jit(
             step_fn,
-            in_shardings=(r, r, b),
-            out_shardings=(r, r),
+            in_shardings=(None, r, b),
+            out_shardings=(None, r),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
