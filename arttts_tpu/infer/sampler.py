@@ -188,7 +188,9 @@ def reverse_diffusion_dpm2m(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_timesteps", "max_frames", "stoc", "solver"),
+    static_argnames=(
+        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh"
+    ),
 )
 def synthesize(
     model,
@@ -204,6 +206,7 @@ def synthesize(
     length_scale: float = 1.0,
     x_durations: Optional[jnp.ndarray] = None,
     solver: str = "euler",
+    mesh=None,
 ):
     """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
 
@@ -211,6 +214,15 @@ def synthesize(
     encoder -> durations (or provided `x_durations`) -> path -> mu_y ->
     z ~ N(mu_y, I/temperature) -> reverse diffusion. Outputs are
     (B, max_frames, n_feats) with `y_lengths` marking valid frames.
+
+    With `mesh` (a Mesh carrying a "model" axis), the diffusion loop runs
+    sequence-parallel: the (B, T, C) state shards on T over "model"
+    (SURVEY §5.7 long-context reservation, now real). GSPMD spatially
+    partitions the U-Net convs (halo exchange over ICI) and inserts the
+    gathers the full-T attention contractions need — same math, per-chip
+    compute ~1/n_model for B=1 long utterances. `max_frames` must divide
+    by the axis size (frame buckets are multiples of 128, so any 2^k axis
+    does). The reference has no multi-device inference at all.
     """
     rng_z, rng_stoc = jax.random.split(rng)
     mu_x, logw, x_mask = model.apply(
@@ -232,6 +244,13 @@ def synthesize(
     mu_y = jnp.einsum("bij,bic->bjc", attn, mu_x)  # (B, max_frames, C)
 
     z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq = NamedSharding(mesh, P(None, "model", None))
+        z = jax.lax.with_sharding_constraint(z, seq)
+        mu_y = jax.lax.with_sharding_constraint(mu_y, seq)
+        y_mask = jax.lax.with_sharding_constraint(y_mask, seq)
     if solver == "heun":
         dec_out = reverse_diffusion_heun(
             model, variables, z, y_mask, mu_y, n_timesteps, spk
