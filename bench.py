@@ -60,6 +60,14 @@ def main():
     from arttts_tpu.core.runtime import setup_runtime
 
     setup_runtime()  # persistent compile cache: cold ~9 min, warm ~2 min
+    t_bench_start = time.perf_counter()
+    # Wall-clock guard: extras are skipped (headline still prints) once the
+    # budget is spent, so a driver-side timeout can't kill the run mid-extra
+    # before the JSON line is emitted.
+    budget_s = float(os.environ.get("ARTTTS_BENCH_BUDGET_S", "2400"))
+
+    def over_budget() -> bool:
+        return time.perf_counter() - t_bench_start > budget_s
     from arttts_tpu.core.config import get_preset
     from arttts_tpu.infer.sampler import (
         frame_bucket, predict_lengths, synthesize_to_wav,
@@ -277,6 +285,155 @@ def main():
     except Exception as e:
         traceback.print_exc()
         extras["dpm_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---------------- scenario 6: training throughput (v1 recipe) ----------
+    # BASELINE training footprint: batch 16, Adam 1e-4, segment cut
+    # (out_size) — the reference's canonical train loop (train_v1.py).
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        from arttts_tpu.train.step import create_train_state, make_train_step
+
+        cfg1 = get_preset("v1")
+        m1 = GradTTSModel(config=cfg1.model)
+        Bt, Txt, Tyt = 16, 192, 768
+        # v1 is the ipa_trait family: inputs are ternary trait vectors
+        xt = jnp.asarray(
+            rng.integers(-1, 2, size=(Bt, Txt, cfg1.model.encoder.n_input_feats))
+            .astype(np.float32)
+        )
+        xlt = jnp.full((Bt,), Txt, jnp.int32)
+        yt = jnp.asarray(
+            rng.standard_normal((Bt, Tyt, cfg1.model.n_feats)).astype(np.float32)
+        )
+        ylt = jnp.full((Bt,), Tyt, jnp.int32)
+        v1vars = jax.jit(m1.init)(
+            {"params": key, "dropout": key},
+            xt, xlt, yt[:, :64], jnp.ones((Bt, 64, 1)), jnp.zeros((Bt,)),
+        )
+        state = create_train_state(
+            m1, v1vars, cfg1.train.learning_rate, cfg1.train.grad_clip_norm
+        )
+        step = make_train_step(m1, out_size=cfg1.train.out_size, donate=False)
+        batch = {"x": xt, "x_lengths": xlt, "y": yt, "y_lengths": ylt}
+
+        def run_train(k):
+            _, metrics = step(state, k, batch)
+            return (metrics["total_loss"],)
+
+        out_t = run_train(base_key)
+        float(jnp.sum(out_t[0]))
+        elapsed_t, _ = differential_time(run_train, base_key, repeats=1)
+        extras["train_step_ms_b16"] = round(elapsed_t * 1000.0, 2)
+        extras["train_steps_per_s"] = round(1.0 / elapsed_t, 1)
+    except Exception as e:
+        traceback.print_exc()
+        extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---------------- scenario 7: batched UTMOS MOS scoring (config 5) ------
+    # UTMOS-demo/predict.py protocol: batch 32, wav2vec2-small + BiLSTM
+    # heads, 10 s clips at 16 kHz.
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        from arttts_tpu.models.utmos import UTMOSPredictor
+
+        um = UTMOSPredictor()
+        Bu, Su = 32, 160000  # 32 x 10 s @ 16 kHz
+        wavs = jnp.asarray(
+            (rng.standard_normal((Bu, Su)) * 0.1).astype(np.float32)
+        )
+        uvars = jax.jit(um.init)(
+            jax.random.PRNGKey(2),
+            wavs[:1],
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+        score_jit = jax.jit(lambda v, w: um.score(v, w))
+
+        def run_utmos(k):
+            return (score_jit(uvars, wavs),)
+
+        out_u = run_utmos(base_key)
+        float(jnp.sum(out_u[0]))
+        elapsed_u, _ = differential_time(
+            run_utmos, base_key, n_small=1, n_large=5, repeats=1
+        )
+        extras["utmos_clips_per_s"] = round(Bu / elapsed_u, 1)
+    except Exception as e:
+        traceback.print_exc()
+        extras["utmos_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---------------- scenario 8: ms articulatory trajectories (config 4) ---
+    # arttts_inference_ms.py protocol: GradTTArtic (v6) text->14-ch SPARC
+    # trajectories at 50 Hz, aligned durations, 50 steps, B=1.
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        from arttts_tpu.infer.sampler import synthesize
+
+        cfg6 = get_preset("v6")
+        m6 = GradTTSModel(config=cfg6.model)
+        B6, Tx6, Ty6 = 1, 96, 768  # 768 frames @ 50 Hz = 15.36 s
+        x6 = jnp.asarray(
+            rng.integers(-1, 2, size=(B6, Tx6, cfg6.model.encoder.n_input_feats))
+            .astype(np.float32)
+        )
+        xl6 = jnp.full((B6,), Tx6, jnp.int32)
+        spk6 = jnp.asarray(
+            rng.standard_normal((B6, cfg6.model.spk_preemb_dim)).astype(np.float32)
+        )
+        dur6 = jnp.full((B6, Tx6), Ty6 / Tx6, jnp.float32)
+        v6vars = jax.jit(m6.init)(
+            {"params": key, "dropout": key},
+            x6, xl6,
+            jnp.zeros((B6, 64, cfg6.model.n_feats)),
+            jnp.ones((B6, 64, 1)), jnp.zeros((B6,)), spk6,
+        )
+        def run_ms(k):
+            # synthesize is already a module-level jitted program
+            return synthesize(
+                m6, v6vars, k, x6, xl6, n_timesteps=N_STEPS,
+                max_frames=Ty6, spk=spk6, x_durations=dur6,
+            )
+
+        out_m = run_ms(base_key)
+        float(jnp.sum(out_m[0]))
+        elapsed_m, _ = differential_time(run_ms, base_key, repeats=1)
+        extras["ms_art_rtf"] = round(elapsed_m / (Ty6 / 50.0), 5)
+    except Exception as e:
+        traceback.print_exc()
+        extras["ms_art_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---------------- scenario 9: mel featurization throughput (config 2) ---
+    # data.py batch featurize: torch.stft-parity log-mel
+    # (hifi-gan/meldataset.py:51-95) as one fused matmul program.
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        from arttts_tpu.audio.mel import MelSpectrogram
+
+        mel = MelSpectrogram()
+        Bm, Sm = 16, 163840  # 16 x ~7.43 s @ 22.05 kHz
+        wav_m = jnp.asarray(
+            (rng.standard_normal((Bm, Sm)) * 0.1).astype(np.float32)
+        )
+        mel_jit = jax.jit(mel.__call__)
+
+        def run_mel(k):
+            return (mel_jit(wav_m),)
+
+        out_mel = run_mel(base_key)
+        float(jnp.sum(out_mel[0]))
+        elapsed_mel, _ = differential_time(
+            run_mel, base_key, n_small=2, n_large=10, repeats=1
+        )
+        extras["mel_featurize_x_rt"] = round(
+            (Bm * Sm / 22050.0) / elapsed_mel, 0
+        )
+    except Exception as e:
+        traceback.print_exc()
+        extras["mel_error"] = f"{type(e).__name__}: {e}"[:200]
 
     target = 0.02
     print(
