@@ -219,6 +219,25 @@ def main():
         extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
         extras["serving_bucket"] = bucket
         extras["serving_frames"] = frames_s
+
+        # same real-request path on the quality-gated DPM-Solver++(2M)
+        # fast path (10 evals match Euler@50 fidelity): short utterances
+        # are step-overhead-dominated, so this is where the fast solver
+        # matters most for request latency.
+        def run_serving_dpm(k):
+            predict_lengths(model, variables, x, x_lengths)
+            return synth(
+                model, variables, vocoder, voc_vars, k, x, x_lengths,
+                n_timesteps=10, max_frames=bucket, solver="dpm",
+            )
+
+        out_sd = run_serving_dpm(base_key)
+        float(jnp.sum(out_sd[0]))
+        elapsed_sd, out_sd = differential_time(run_serving_dpm, base_key, repeats=1)
+        frames_sd = max(int(np.asarray(out_sd[1]).max()), 1)
+        extras["serving_dpm_rtf"] = round(
+            elapsed_sd / (frames_sd * 256 / 22050.0), 5
+        )
     except Exception as e:
         traceback.print_exc()
         extras["serving_error"] = f"{type(e).__name__}: {e}"[:200]
