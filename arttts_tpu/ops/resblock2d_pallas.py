@@ -1,0 +1,597 @@
+"""Fused Pallas TPU kernel for the 2D U-Net's level-1 residual blocks.
+
+Why: the diffusion decoder's full-resolution level (80 x T images, C=64)
+costs 53% of every reverse-diffusion step under XLA — its nine 3x3 convs
+average ~45 us (half the MXU idles: C=64 pads to 128 lanes) and another
+~0.76 ms/step goes to pure layout copies/reshapes around them (trace
+breakdown in CLAUDE.md, r3). This kernel runs a WHOLE ResnetBlock2d
+(conv3x3 -> masked GroupNorm -> mish -> +time-emb -> conv3x3 -> GN ->
+mish -> +residual; `models/unet2d.py:104-122`, reference
+`model/diffusion.py:68-85`) with zero HBM round-trips between ops:
+
+  * h-parity lane packing: the 80-row feature axis folds into 40 rows of
+    h-pairs, lanes = parity*64 + channel, so every buffer is exactly
+    128-lane aligned — no padding anywhere;
+  * each 3x3 conv = 3 t-taps x 2 full-width (128,128) MXU dots: the
+    "same-pair" dot carries a dense weight matrix (all four parity
+    blocks real) and the "cross-pair" dot acts on a composite operand
+    (select of the up-/down-shifted pair rows), for 75% MXU slot
+    efficiency vs the ~50% lane-padded XLA conv;
+  * dots multiply in bf16 with f32 accumulation — numerically the same
+    mode XLA uses for these convs on v5e (xla_allow_excess_precision);
+  * GroupNorm statistics are masked (padded frames excluded) and global
+    over (H, T): the grid runs three sequential phases over time-tiles
+    (conv1+stats -> normalize+mish+temb+conv2+stats -> normalize+mish+
+    residual), with the unnormalized conv outputs parked in whole-T VMEM
+    scratch between phases.
+
+Parity is pinned against `ResnetBlock2d.apply` in interpret mode
+(tests/test_resblock2d_pallas.py); serving wiring and hardware numbers
+live in `models/unet2d_fast.py` / CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+C_HALF = 64  # channel count this kernel is specialized for (level-1 dim)
+
+# ---------------------------------------------------------------------------
+# VMEM budget — one coordinated model (same discipline as ops/mrf_pallas.py).
+# Resident across the whole call: two (40, T+2, 128) f32 scratches (conv1 /
+# conv2 outputs awaiting their global statistics) plus packed weights; per
+# grid step the compiler keeps ~N_LIVE (40, T_b+2, 128) live tile buffers
+# (x tile, shifted copies, composite operands, dot accumulators).
+# ---------------------------------------------------------------------------
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+VMEM_SLACK_BYTES = 12 * 1024 * 1024
+# Hardware calibration (r3): at T=768/T_b=256 the compiler's scoped stack
+# was 100.13M = scratches 31.6M + ~13.0 live (n_pairs, T_b+2, 128) f32 tile
+# buffers — the budget model uses 13 + the n_in input tiles it counts
+# separately, and the _pick_tile invariant is asserted at trace time.
+N_LIVE_BUFFERS = 13
+N_PAIRS = 40  # 80 feature rows / 2
+
+
+def _scratch_bytes(T: int, n_pairs: int) -> int:
+    return 2 * n_pairs * (T + 2) * LANES * 4
+
+
+def _tile_bytes(T_b: int, n_pairs: int) -> int:
+    return n_pairs * (T_b + 2) * LANES * 4
+
+
+def resblock2d_supported(T: int, n_pairs: int, n_in: int = 1) -> bool:
+    """T must tile by 128.  `n_in` packed inputs each add a tile buffer."""
+    if T % 128:
+        return False
+    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(T, n_pairs)
+    need = (N_LIVE_BUFFERS + n_in) * _tile_bytes(128, n_pairs)
+    return usable >= need + 2 * 1024 * 1024
+
+
+def _pick_tile(T: int, n_pairs: int, n_in: int) -> int:
+    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(T, n_pairs)
+    n_bufs = N_LIVE_BUFFERS + n_in
+    t = 128
+    while T % (t * 2) == 0 and n_bufs * _tile_bytes(t * 2, n_pairs) <= usable:
+        t *= 2
+    est = _scratch_bytes(T, n_pairs) + n_bufs * _tile_bytes(t, n_pairs)
+    assert est <= VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES, (
+        f"resblock2d tile {t} estimated VMEM {est/2**20:.1f} MiB over budget"
+    )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Weight packing (host/trace side)
+# ---------------------------------------------------------------------------
+
+
+def pack_conv3x3(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C_in, 64) HWIO conv kernel (C_in <= 64) -> (3, 2, 128, 128)
+    packed dot matrices: for t-tap dt, matrix 0 ("same-pair") maps input
+    lanes (par_in*64 + c) to output lanes (o*64 + c') with the
+    dh = par_in - o tap; matrix 1 ("cross-pair") maps the composite
+    operand (lanes < 64: pair p+1 parity 0; lanes >= 64: pair p-1
+    parity 1) with taps dh = +1 and dh = -1 respectively.
+
+    Derivation: output h = 2p + o needs input h' = h + dh; h' = 2q + par
+    lands in pair q = p + (o + dh - par)/2.  q == p gives the dense same-
+    pair matrix; q = p±1 each contribute exactly one parity block, packed
+    together into the composite matrix.
+    """
+    assert w.shape[:2] == (3, 3) and w.shape[2] <= C_HALF, w.shape
+    c_in = w.shape[2]
+    out = np.zeros((3, 2, 2 * C_HALF, 2 * C_HALF), dtype=np.float32)
+    wn = np.asarray(w, np.float32)  # [dh+1, dt+1, ci, co]
+    for it in range(3):  # dt + 1
+        for par_in in range(2):
+            for o in range(2):
+                dh = par_in - o  # same-pair tap
+                out[it, 0, par_in * C_HALF : par_in * C_HALF + c_in,
+                    o * C_HALF : (o + 1) * C_HALF] = wn[dh + 1, it]
+        # cross-pair composite: lanes [0, 64) hold pair p+1 parity 0,
+        # which feeds output o=1 via dh = +1; lanes [64, 128) hold
+        # pair p-1 parity 1, feeding o=0 via dh = -1.
+        out[it, 1, :c_in, C_HALF : 2 * C_HALF] = wn[2, it]
+        out[it, 1, C_HALF : C_HALF + c_in, :C_HALF] = wn[0, it]
+    return jnp.asarray(out)
+
+
+def pack_dense(w: jnp.ndarray) -> jnp.ndarray:
+    """(C_in, 64) 1x1-projection matrix (C_in <= 64) -> (128, 128)
+    block-diag kron(I_2, w): each parity maps through the same dense."""
+    c_in, c_out = w.shape
+    assert c_out == C_HALF and c_in <= C_HALF, w.shape
+    out = np.zeros((2 * C_HALF, 2 * C_HALF), np.float32)
+    wn = np.asarray(w, np.float32)
+    out[:c_in, :C_HALF] = wn
+    out[C_HALF : C_HALF + c_in, C_HALF:] = wn
+    return jnp.asarray(out)
+
+
+def pack_lane_vec(v: jnp.ndarray) -> jnp.ndarray:
+    """(64,) channel vector -> (128,): the same values in both parities."""
+    return jnp.concatenate([v, v])
+
+
+def pack_image(x: jnp.ndarray, pad: bool = True) -> jnp.ndarray:
+    """(B, 80, T, C) NHWC image (C <= 64) -> (B, 40, T(+2), 128) h-parity
+    packed: lane = parity*64 + c.  With `pad`, one zero frame is added on
+    each side of T (the kernels' haloed-buffer layout)."""
+    B, H, T, C = x.shape
+    assert H % 2 == 0 and C <= C_HALF
+    p = x.reshape(B, H // 2, 2, T, C).transpose(0, 1, 3, 2, 4)
+    if C < C_HALF:
+        p = jnp.pad(p, ((0, 0),) * 3 + ((0, 0), (0, C_HALF - C)))
+    p = p.reshape(B, H // 2, T, 2 * C_HALF)
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return p
+
+
+def unpack_image(x: jnp.ndarray, C: int = C_HALF, padded: bool = True):
+    """(B, 40, T(+2), 128) -> (B, 80, T, C)."""
+    if padded:
+        x = x[:, :, 1:-1, :]
+    B, P, T, _ = x.shape
+    u = x.reshape(B, P, T, 2, C_HALF)[..., :C]
+    return u.transpose(0, 1, 3, 2, 4).reshape(B, 2 * P, T, C)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _mish(x):
+    # x * tanh(softplus(x)); softplus computed stably in f32
+    sp = jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+    return x * jnp.tanh(sp)
+
+
+def _conv3x3_packed(x, w_ref, bf16: bool = True):
+    """SAME 3x3 conv on a packed haloed tile (bias NOT applied).
+
+    x: (40, L, 128) f32, halo of 1 frame each side, already masked so
+    out-of-sequence frames read zero.  w_ref: (3, 2, 128, 128) packed
+    matrices.  Returns (40, L, 128) f32; the halo columns hold partial
+    sums (their t-neighbours wrapped) and must be masked by the caller.
+    """
+    zrow = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    x_up = jnp.concatenate([x[1:], zrow], axis=0)    # pair p+1 (h edge: 0)
+    x_dn = jnp.concatenate([zrow, x[:-1]], axis=0)   # pair p-1
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    comp = jnp.where(lane < C_HALF, x_up, x_dn)
+    acc = None
+    for it in range(3):
+        dt = it - 1
+        a = pltpu.roll(x, (-dt) % x.shape[1], axis=1) if dt else x
+        e = pltpu.roll(comp, (-dt) % x.shape[1], axis=1) if dt else comp
+        dt_ = jnp.bfloat16 if bf16 else jnp.float32
+        pa = jax.lax.dot_general(
+            a.astype(dt_), w_ref[it, 0].astype(dt_),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pe = jax.lax.dot_general(
+            e.astype(dt_), w_ref[it, 1].astype(dt_),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        part = pa + pe
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _fold_groups(v):
+    """(1, 128) per-lane sums -> per-group totals broadcast to lanes.
+
+    Groups are 8 channels wide; a channel's two parities live at lane c
+    and lane 64 + c, so group g covers lanes [8g, 8g+8) U [64+8g,
+    64+8g+8).  Implemented as a (128, 128) 0/1 matmul — one tiny dot.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    same = (lane % C_HALF) // 8 == (lane_t % C_HALF) // 8
+    return jax.lax.dot_general(
+        v, same.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _normalize(h, s1, s2, count, scale, bias, eps):
+    """Apply GroupNorm given folded per-group sums (1, 128) broadcast to
+    lanes and the valid-element count per group."""
+    mean = (s1 / count)[None]
+    var = jnp.maximum((s2 / count)[None] - mean * mean, 0.0)
+    return (h - mean) * jax.lax.rsqrt(var + eps) * scale[None] + bias[None]
+
+
+# ---------------------------------------------------------------------------
+# The fused ResnetBlock2d kernel
+# ---------------------------------------------------------------------------
+
+
+def _resblock_kernel(
+    lens_ref,
+    *refs,
+    T: int,
+    T_b: int,
+    n_tiles: int,
+    n_pairs: int,
+    n_in: int,
+    identity_res: bool,
+    block_only: bool,
+    eps: float,
+    bf16: bool,
+):
+    # ---- unpack refs (order mirrors the pallas_call operand list) -------
+    pos = 0
+    x_hbms = list(refs[pos : pos + n_in]); pos += n_in
+    temb_ref = refs[pos]; pos += 1          # (1, 128) VMEM (this batch row)
+    w1s = list(refs[pos : pos + n_in]); pos += n_in   # (3, 2, 128, 128) each
+    b1, g1s, g1b = refs[pos : pos + 3]; pos += 3      # (1, 128) each
+    if not block_only:
+        w2 = refs[pos]; pos += 1
+        b2, g2s, g2b = refs[pos : pos + 3]; pos += 3
+        wres = None
+        bres = None
+        if not identity_res:
+            wres = list(refs[pos : pos + n_in]); pos += n_in
+            bres = refs[pos]; pos += 1
+    out_hbm = refs[pos]; pos += 1
+    xss = list(refs[pos : pos + n_in]); pos += n_in  # tile scratches
+    h1_scr = refs[pos]; pos += 1            # (n_pairs, T + 2, 128)
+    h2_scr = None
+    if not block_only:
+        h2_scr = refs[pos]; pos += 1        # (n_pairs, T, 128)
+    s11, s21, s12, s22 = refs[pos : pos + 4]; pos += 4  # (1, 128) each
+    out_scr = refs[pos]; pos += 1           # (n_pairs, L, 128)
+    sems = list(refs[pos : pos + n_in]); pos += n_in
+    sem_out = refs[pos]
+
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    i = pl.program_id(2)
+    t0 = i * T_b
+    L = T_b + 2
+    length = lens_ref[b]
+    # packed-buffer column c of this tile holds frame t0 + c - 1
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (1, L, LANES), 1) + (t0 - 1)
+    valid = ((fidx >= 0) & (fidx < length)).astype(jnp.float32)
+    count = (n_pairs * 2 * 8) * length.astype(jnp.float32)
+
+    def dma_inputs():
+        cps = [
+            pltpu.make_async_copy(
+                x_hbms[j].at[b, :, pl.ds(t0, L), :], xss[j], sems[j]
+            )
+            for j in range(n_in)
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    # ---------------- phase 0: conv1 + stats ----------------------------
+    @pl.when(ph == 0)
+    def _():
+        dma_inputs()
+        acc = None
+        for j in range(n_in):
+            part = _conv3x3_packed(xss[j][:] * valid, w1s[j], bf16)
+            acc = part if acc is None else acc + part
+        h1 = (acc + b1[:][None]) * valid
+        interior = h1[:, 1 : T_b + 1, :]
+
+        @pl.when(i == 0)
+        def _():
+            s11[:] = jnp.zeros_like(s11)
+            s21[:] = jnp.zeros_like(s21)
+            h1_scr[:, 0:1, :] = jnp.zeros((n_pairs, 1, LANES), jnp.float32)
+            h1_scr[:, T + 1 : T + 2, :] = jnp.zeros(
+                (n_pairs, 1, LANES), jnp.float32
+            )
+
+        s11[:] += jnp.sum(interior, axis=(0, 1))[None]
+        s21[:] += jnp.sum(interior * interior, axis=(0, 1))[None]
+        h1_scr[:, pl.ds(t0 + 1, T_b), :] = interior
+
+    # ---------------- phase 1: GN1 + mish + temb + conv2 + stats --------
+    @pl.when(ph == 1)
+    def _():
+        if block_only:
+            # final Block2d: normalize + mish + mask -> out (no conv2)
+            h1w = h1_scr[:, pl.ds(t0, L), :]
+            y = _normalize(
+                h1w, _fold_groups(s11[:]), _fold_groups(s21[:]),
+                count, g1s[:], g1b[:], eps,
+            )
+            y = _mish(y) * valid
+            _emit(
+                y[:, 1 : T_b + 1, :], out_scr, out_hbm, sem_out,
+                b, i, t0, T_b, n_tiles, n_pairs,
+            )
+        else:
+            h1w = h1_scr[:, pl.ds(t0, L), :]
+            hn = _normalize(
+                h1w, _fold_groups(s11[:]), _fold_groups(s21[:]),
+                count, g1s[:], g1b[:], eps,
+            )
+            hp = (_mish(hn) * valid + temb_ref[:][None]) * valid
+            h2 = (_conv3x3_packed(hp, w2, bf16) + b2[:][None]) * valid
+            interior = h2[:, 1 : T_b + 1, :]
+
+            @pl.when(i == 0)
+            def _():
+                s12[:] = jnp.zeros_like(s12)
+                s22[:] = jnp.zeros_like(s22)
+
+            s12[:] += jnp.sum(interior, axis=(0, 1))[None]
+            s22[:] += jnp.sum(interior * interior, axis=(0, 1))[None]
+            h2_scr[:, pl.ds(t0, T_b), :] = interior
+
+    # ---------------- phase 2: GN2 + mish + residual + emit -------------
+    if not block_only:
+
+        @pl.when(ph == 2)
+        def _():
+            dma_inputs()
+            h2w = h2_scr[:, pl.ds(t0, T_b), :]
+            y = _normalize(
+                h2w, _fold_groups(s12[:]), _fold_groups(s22[:]),
+                count, g2s[:], g2b[:], eps,
+            )
+            vi = valid[:, 1 : T_b + 1, :]
+            y = _mish(y) * vi
+            if identity_res:
+                res = xss[0][:, 1 : T_b + 1, :] * vi
+            else:
+                dt_ = jnp.bfloat16 if bf16 else jnp.float32
+                res = None
+                for j in range(n_in):
+                    xi = xss[j][:, 1 : T_b + 1, :] * vi
+                    part = jax.lax.dot_general(
+                        xi.astype(dt_), wres[j][:].astype(dt_),
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    res = part if res is None else res + part
+                # Dense bias applies everywhere, padding included — the
+                # module adds it unmasked (unet2d.py:119) and the next
+                # consumer masks its own input.
+                res = res + bres[:][None]
+            _emit(
+                y + res, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
+                n_pairs,
+            )
+
+
+def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
+          n_pairs):
+    """Write a tile's (40, T_b, 128) result into the padded HBM output.
+
+    The output layout is (B, 40, T+2, 128) with zero border columns; the
+    border zeros are written by the first/last tile only (a zero written
+    by tile i's left edge would clobber tile i-1's last result column).
+    """
+    out_scr[:, 1 : T_b + 1, :] = y_interior
+    zcol = jnp.zeros((n_pairs, 1, LANES), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        out_scr[:, 0:1, :] = zcol
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        out_scr[:, T_b + 1 : T_b + 2, :] = zcol
+
+    # DMA sizes must be static; the edge tiles carry one extra border
+    # column, so emit splits into static cases.
+    if n_tiles == 1:
+        cp = pltpu.make_async_copy(out_scr, out_hbm.at[b], sem_out)
+        cp.start(); cp.wait()
+    else:
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_scr.at[:, pl.ds(0, T_b + 1), :],
+                out_hbm.at[b, :, pl.ds(0, T_b + 1), :],
+                sem_out,
+            )
+            cp.start(); cp.wait()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_scr.at[:, pl.ds(1, T_b + 1), :],
+                out_hbm.at[b, :, pl.ds(t0 + 1, T_b + 1), :],
+                sem_out,
+            )
+            cp.start(); cp.wait()
+
+        @pl.when((i != 0) & (i != n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                out_scr.at[:, pl.ds(1, T_b), :],
+                out_hbm.at[b, :, pl.ds(t0 + 1, T_b), :],
+                sem_out,
+            )
+            cp.start(); cp.wait()
+
+
+# ---------------------------------------------------------------------------
+# Host-side entry
+# ---------------------------------------------------------------------------
+
+
+def pack_resblock_params(p: dict, c_in: int) -> Tuple[jnp.ndarray, ...]:
+    """Flax `ResnetBlock2d` param dict -> the flat tuple `resblock2d_packed`
+    expects.  The conv1/residual weights split into 64-channel input chunks
+    (one packed matrix per chunk: concatenated skip inputs are never
+    materialized — the kernel takes multiple packed images)."""
+    bl0, bl1 = p["Block2d_0"], p["Block2d_1"]
+    w1 = bl0["Conv_0"]["kernel"]  # (3, 3, c_in, 64)
+    n_in = max(1, c_in // C_HALF)
+    flat = [
+        pack_conv3x3(w1[:, :, j * C_HALF : (j + 1) * C_HALF])
+        for j in range(n_in)
+    ]
+    flat += [
+        pack_lane_vec(bl0["Conv_0"]["bias"])[None],
+        pack_lane_vec(bl0["GroupNorm_0"]["scale"])[None],
+        pack_lane_vec(bl0["GroupNorm_0"]["bias"])[None],
+        pack_conv3x3(bl1["Conv_0"]["kernel"]),
+        pack_lane_vec(bl1["Conv_0"]["bias"])[None],
+        pack_lane_vec(bl1["GroupNorm_0"]["scale"])[None],
+        pack_lane_vec(bl1["GroupNorm_0"]["bias"])[None],
+    ]
+    if c_in != C_HALF:
+        wres = p["Conv_0"]["kernel"]  # (c_in, 64)
+        flat += [
+            pack_dense(wres[j * C_HALF : (j + 1) * C_HALF])
+            for j in range(n_in)
+        ]
+        flat += [pack_lane_vec(p["Conv_0"]["bias"])[None]]
+    return tuple(flat)
+
+
+def pack_block_params(p: dict) -> Tuple[jnp.ndarray, ...]:
+    """Flax `Block2d` param dict -> flat tuple for `block_only=True`."""
+    return (
+        pack_conv3x3(p["Conv_0"]["kernel"]),
+        pack_lane_vec(p["Conv_0"]["bias"])[None],
+        pack_lane_vec(p["GroupNorm_0"]["scale"])[None],
+        pack_lane_vec(p["GroupNorm_0"]["bias"])[None],
+    )
+
+
+def split_pack_image(x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(B, H, T, C) with C a multiple of 64 (or C <= 64) -> tuple of
+    packed (B, H/2, T+2, 128) images, one per 64-channel chunk."""
+    C = x.shape[-1]
+    if C <= C_HALF:
+        return (pack_image(x),)
+    assert C % C_HALF == 0
+    return tuple(
+        pack_image(x[..., j * C_HALF : (j + 1) * C_HALF])
+        for j in range(C // C_HALF)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_in", "block_only", "interpret", "eps", "bf16"),
+)
+def resblock2d_packed(
+    xs: Tuple[jnp.ndarray, ...],
+    lengths: jnp.ndarray,
+    temb: jnp.ndarray,
+    params: Tuple[jnp.ndarray, ...],
+    c_in: int,
+    block_only: bool = False,
+    interpret: bool = False,
+    eps: float = 1e-5,
+    bf16: bool = True,
+) -> jnp.ndarray:
+    """Fused ResnetBlock2d on the packed padded layout.
+
+    xs: tuple of (B, n_pairs, T+2, 128) h-parity packed images with zero
+    border columns (`split_pack_image`) — one per 64-channel chunk of the
+    block input (the concat is never materialized).  lengths: (B,) int32
+    valid-frame counts.  temb: (B, 128) packed time-embedding rows (the
+    block's inner Dense already applied; `pack_lane_vec` per row).
+    params: `pack_resblock_params` / `pack_block_params` output.
+    Returns (B, n_pairs, T+2, 128) in the same layout.
+    """
+    if not isinstance(xs, tuple):
+        xs = (xs,)
+    n_in = len(xs)
+    B, n_pairs, Tp, _ = xs[0].shape
+    T = Tp - 2
+    assert resblock2d_supported(T, n_pairs, n_in), (T, n_pairs, n_in)
+    identity_res = c_in == C_HALF
+    T_b = _pick_tile(T, n_pairs, n_in)
+    n_tiles = T // T_b
+    L = T_b + 2
+    n_phases = 2 if block_only else 3
+
+    kern = functools.partial(
+        _resblock_kernel,
+        T=T,
+        T_b=T_b,
+        n_tiles=n_tiles,
+        n_pairs=n_pairs,
+        n_in=n_in,
+        identity_res=identity_res,
+        block_only=block_only,
+        eps=eps,
+        bf16=bf16,
+    )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [any_spec] * n_in  # packed inputs
+    in_specs.append(
+        # index_map gets the scalar-prefetch ref as a trailing arg
+        pl.BlockSpec((1, LANES), lambda b, ph, i, lens: (b, 0))
+    )  # temb row
+    in_specs += [vec_spec] * len(params)
+
+    tile_f32 = pltpu.VMEM((n_pairs, L, LANES), jnp.float32)
+    scratch = [tile_f32] * n_in  # xss
+    scratch.append(pltpu.VMEM((n_pairs, T + 2, LANES), jnp.float32))  # h1
+    if not block_only:
+        scratch.append(pltpu.VMEM((n_pairs, T, LANES), jnp.float32))  # h2
+    scratch += [pltpu.VMEM((1, LANES), jnp.float32)] * 4  # stats
+    scratch.append(tile_f32)  # out_scr
+    scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_phases, n_tiles),
+            in_specs=in_specs,
+            out_specs=any_spec,
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_pairs, T + 2, LANES), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), *xs, temb, *params)
