@@ -59,14 +59,19 @@ VMEM_SLACK_BYTES = 12 * 1024 * 1024
 # separately, and the _pick_tile invariant is asserted at trace time.
 N_LIVE_BUFFERS = 13
 N_PAIRS = 40  # 80 feature rows / 2
+# All DMA offsets and sizes on the frame axis must be multiples of the
+# f32 sublane tile (8) — misaligned windows fault the TPU worker
+# (hardware finding, r3; the MRF kernel aligns its halo the same way).
+# The packed layout therefore pads 8 zero columns on each side.
+PAD = 8
 
 
 def _scratch_bytes(T: int, n_pairs: int) -> int:
-    return 2 * n_pairs * (T + 2) * LANES * 4
+    return n_pairs * (2 * T + 2 * PAD) * LANES * 4
 
 
 def _tile_bytes(T_b: int, n_pairs: int) -> int:
-    return n_pairs * (T_b + 2) * LANES * 4
+    return n_pairs * (T_b + 2 * PAD) * LANES * 4
 
 
 def resblock2d_supported(T: int, n_pairs: int, n_in: int = 1) -> bool:
@@ -146,8 +151,8 @@ def pack_lane_vec(v: jnp.ndarray) -> jnp.ndarray:
 
 def pack_image(x: jnp.ndarray, pad: bool = True) -> jnp.ndarray:
     """(B, 80, T, C) NHWC image (C <= 64) -> (B, 40, T(+2), 128) h-parity
-    packed: lane = parity*64 + c.  With `pad`, one zero frame is added on
-    each side of T (the kernels' haloed-buffer layout)."""
+    packed: lane = parity*64 + c.  With `pad`, PAD zero frames are added
+    on each side of T (the kernels' aligned haloed-buffer layout)."""
     B, H, T, C = x.shape
     assert H % 2 == 0 and C <= C_HALF
     p = x.reshape(B, H // 2, 2, T, C).transpose(0, 1, 3, 2, 4)
@@ -155,14 +160,14 @@ def pack_image(x: jnp.ndarray, pad: bool = True) -> jnp.ndarray:
         p = jnp.pad(p, ((0, 0),) * 3 + ((0, 0), (0, C_HALF - C)))
     p = p.reshape(B, H // 2, T, 2 * C_HALF)
     if pad:
-        p = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        p = jnp.pad(p, ((0, 0), (0, 0), (PAD, PAD), (0, 0)))
     return p
 
 
 def unpack_image(x: jnp.ndarray, C: int = C_HALF, padded: bool = True):
     """(B, 40, T(+2), 128) -> (B, 80, T, C)."""
     if padded:
-        x = x[:, :, 1:-1, :]
+        x = x[:, :, PAD:-PAD, :]
     B, P, T, _ = x.shape
     u = x.reshape(B, P, T, 2, C_HALF)[..., :C]
     return u.transpose(0, 1, 3, 2, 4).reshape(B, 2 * P, T, C)
@@ -271,7 +276,7 @@ def _resblock_kernel(
             bres = refs[pos]; pos += 1
     out_hbm = refs[pos]; pos += 1
     xss = list(refs[pos : pos + n_in]); pos += n_in  # tile scratches
-    h1_scr = refs[pos]; pos += 1            # (n_pairs, T + 2, 128)
+    h1_scr = refs[pos]; pos += 1        # (n_pairs, T + 2*PAD, 128)
     h2_scr = None
     if not block_only:
         h2_scr = refs[pos]; pos += 1        # (n_pairs, T, 128)
@@ -284,10 +289,10 @@ def _resblock_kernel(
     ph = pl.program_id(1)
     i = pl.program_id(2)
     t0 = i * T_b
-    L = T_b + 2
+    L = T_b + 2 * PAD
     length = lens_ref[b]
-    # packed-buffer column c of this tile holds frame t0 + c - 1
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (1, L, LANES), 1) + (t0 - 1)
+    # packed-buffer column c of this tile holds frame t0 + c - PAD
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (1, L, LANES), 1) + (t0 - PAD)
     valid = ((fidx >= 0) & (fidx < length)).astype(jnp.float32)
     count = (n_pairs * 2 * 8) * length.astype(jnp.float32)
 
@@ -312,20 +317,19 @@ def _resblock_kernel(
             part = _conv3x3_packed(xss[j][:] * valid, w1s[j], bf16)
             acc = part if acc is None else acc + part
         h1 = (acc + b1[:][None]) * valid
-        interior = h1[:, 1 : T_b + 1, :]
+        interior = h1[:, PAD : T_b + PAD, :]
 
         @pl.when(i == 0)
         def _():
             s11[:] = jnp.zeros_like(s11)
             s21[:] = jnp.zeros_like(s21)
-            h1_scr[:, 0:1, :] = jnp.zeros((n_pairs, 1, LANES), jnp.float32)
-            h1_scr[:, T + 1 : T + 2, :] = jnp.zeros(
-                (n_pairs, 1, LANES), jnp.float32
-            )
+            zpad = jnp.zeros((n_pairs, PAD, LANES), jnp.float32)
+            h1_scr[:, 0:PAD, :] = zpad
+            h1_scr[:, T + PAD : T + 2 * PAD, :] = zpad
 
         s11[:] += jnp.sum(interior, axis=(0, 1))[None]
         s21[:] += jnp.sum(interior * interior, axis=(0, 1))[None]
-        h1_scr[:, pl.ds(t0 + 1, T_b), :] = interior
+        h1_scr[:, pl.ds(t0 + PAD, T_b), :] = interior
 
     # ---------------- phase 1: GN1 + mish + temb + conv2 + stats --------
     @pl.when(ph == 1)
@@ -339,7 +343,7 @@ def _resblock_kernel(
             )
             y = _mish(y) * valid
             _emit(
-                y[:, 1 : T_b + 1, :], out_scr, out_hbm, sem_out,
+                y[:, PAD : T_b + PAD, :], out_scr, out_hbm, sem_out,
                 b, i, t0, T_b, n_tiles, n_pairs,
             )
         else:
@@ -350,7 +354,7 @@ def _resblock_kernel(
             )
             hp = (_mish(hn) * valid + temb_ref[:][None]) * valid
             h2 = (_conv3x3_packed(hp, w2, bf16) + b2[:][None]) * valid
-            interior = h2[:, 1 : T_b + 1, :]
+            interior = h2[:, PAD : T_b + PAD, :]
 
             @pl.when(i == 0)
             def _():
@@ -372,15 +376,15 @@ def _resblock_kernel(
                 h2w, _fold_groups(s12[:]), _fold_groups(s22[:]),
                 count, g2s[:], g2b[:], eps,
             )
-            vi = valid[:, 1 : T_b + 1, :]
+            vi = valid[:, PAD : T_b + PAD, :]
             y = _mish(y) * vi
             if identity_res:
-                res = xss[0][:, 1 : T_b + 1, :] * vi
+                res = xss[0][:, PAD : T_b + PAD, :] * vi
             else:
                 dt_ = jnp.bfloat16 if bf16 else jnp.float32
                 res = None
                 for j in range(n_in):
-                    xi = xss[j][:, 1 : T_b + 1, :] * vi
+                    xi = xss[j][:, PAD : T_b + PAD, :] * vi
                     part = jax.lax.dot_general(
                         xi.astype(dt_), wres[j][:].astype(dt_),
                         (((2,), (0,)), ((), ())),
@@ -399,25 +403,21 @@ def _resblock_kernel(
 
 def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
           n_pairs):
-    """Write a tile's (40, T_b, 128) result into the padded HBM output.
-
-    The output layout is (B, 40, T+2, 128) with zero border columns; the
-    border zeros are written by the first/last tile only (a zero written
-    by tile i's left edge would clobber tile i-1's last result column).
-    """
-    out_scr[:, 1 : T_b + 1, :] = y_interior
-    zcol = jnp.zeros((n_pairs, 1, LANES), jnp.float32)
+    """Write a tile's (n_pairs, T_b, 128) result into the PAD-padded HBM
+    output.  Border zeros are written by the first/last tile only (a zero
+    written by tile i's left edge would clobber tile i-1's last result
+    columns); every DMA offset/size is a multiple of the sublane tile."""
+    out_scr[:, PAD : T_b + PAD, :] = y_interior
+    zpad = jnp.zeros((n_pairs, PAD, LANES), jnp.float32)
 
     @pl.when(i == 0)
     def _():
-        out_scr[:, 0:1, :] = zcol
+        out_scr[:, 0:PAD, :] = zpad
 
     @pl.when(i == n_tiles - 1)
     def _():
-        out_scr[:, T_b + 1 : T_b + 2, :] = zcol
+        out_scr[:, T_b + PAD : T_b + 2 * PAD, :] = zpad
 
-    # DMA sizes must be static; the edge tiles carry one extra border
-    # column, so emit splits into static cases.
     if n_tiles == 1:
         cp = pltpu.make_async_copy(out_scr, out_hbm.at[b], sem_out)
         cp.start(); cp.wait()
@@ -426,8 +426,8 @@ def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
         @pl.when(i == 0)
         def _():
             cp = pltpu.make_async_copy(
-                out_scr.at[:, pl.ds(0, T_b + 1), :],
-                out_hbm.at[b, :, pl.ds(0, T_b + 1), :],
+                out_scr.at[:, pl.ds(0, T_b + PAD), :],
+                out_hbm.at[b, :, pl.ds(0, T_b + PAD), :],
                 sem_out,
             )
             cp.start(); cp.wait()
@@ -435,8 +435,8 @@ def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
         @pl.when(i == n_tiles - 1)
         def _():
             cp = pltpu.make_async_copy(
-                out_scr.at[:, pl.ds(1, T_b + 1), :],
-                out_hbm.at[b, :, pl.ds(t0 + 1, T_b + 1), :],
+                out_scr.at[:, pl.ds(PAD, T_b + PAD), :],
+                out_hbm.at[b, :, pl.ds(t0 + PAD, T_b + PAD), :],
                 sem_out,
             )
             cp.start(); cp.wait()
@@ -444,8 +444,8 @@ def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
         @pl.when((i != 0) & (i != n_tiles - 1))
         def _():
             cp = pltpu.make_async_copy(
-                out_scr.at[:, pl.ds(1, T_b), :],
-                out_hbm.at[b, :, pl.ds(t0 + 1, T_b), :],
+                out_scr.at[:, pl.ds(PAD, T_b), :],
+                out_hbm.at[b, :, pl.ds(t0 + PAD, T_b), :],
                 sem_out,
             )
             cp.start(); cp.wait()
@@ -499,7 +499,7 @@ def pack_block_params(p: dict) -> Tuple[jnp.ndarray, ...]:
 
 def split_pack_image(x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     """(B, H, T, C) with C a multiple of 64 (or C <= 64) -> tuple of
-    packed (B, H/2, T+2, 128) images, one per 64-channel chunk."""
+    packed (B, H/2, T+2*PAD, 128) images, one per 64-channel chunk."""
     C = x.shape[-1]
     if C <= C_HALF:
         return (pack_image(x),)
@@ -527,24 +527,24 @@ def resblock2d_packed(
 ) -> jnp.ndarray:
     """Fused ResnetBlock2d on the packed padded layout.
 
-    xs: tuple of (B, n_pairs, T+2, 128) h-parity packed images with zero
+    xs: tuple of (B, n_pairs, T+2*PAD, 128) h-parity packed images with zero
     border columns (`split_pack_image`) — one per 64-channel chunk of the
     block input (the concat is never materialized).  lengths: (B,) int32
     valid-frame counts.  temb: (B, 128) packed time-embedding rows (the
     block's inner Dense already applied; `pack_lane_vec` per row).
     params: `pack_resblock_params` / `pack_block_params` output.
-    Returns (B, n_pairs, T+2, 128) in the same layout.
+    Returns (B, n_pairs, T+2*PAD, 128) in the same layout.
     """
     if not isinstance(xs, tuple):
         xs = (xs,)
     n_in = len(xs)
     B, n_pairs, Tp, _ = xs[0].shape
-    T = Tp - 2
+    T = Tp - 2 * PAD
     assert resblock2d_supported(T, n_pairs, n_in), (T, n_pairs, n_in)
     identity_res = c_in == C_HALF
     T_b = _pick_tile(T, n_pairs, n_in)
     n_tiles = T // T_b
-    L = T_b + 2
+    L = T_b + 2 * PAD
     n_phases = 2 if block_only else 3
 
     kern = functools.partial(
@@ -571,7 +571,9 @@ def resblock2d_packed(
 
     tile_f32 = pltpu.VMEM((n_pairs, L, LANES), jnp.float32)
     scratch = [tile_f32] * n_in  # xss
-    scratch.append(pltpu.VMEM((n_pairs, T + 2, LANES), jnp.float32))  # h1
+    scratch.append(
+        pltpu.VMEM((n_pairs, T + 2 * PAD, LANES), jnp.float32)
+    )  # h1
     if not block_only:
         scratch.append(pltpu.VMEM((n_pairs, T, LANES), jnp.float32))  # h2
     scratch += [pltpu.VMEM((1, LANES), jnp.float32)] * 4  # stats
@@ -588,7 +590,7 @@ def resblock2d_packed(
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_pairs, T + 2, LANES), jnp.float32
+            (B, n_pairs, T + 2 * PAD, LANES), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
