@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from arttts_tpu.models.diffusion_sde import get_noise
+from arttts_tpu.models.unet2d_fast import make_score_fn
 from arttts_tpu.ops.shape import fix_len_compatibility, generate_path, sequence_mask
 
 
@@ -40,11 +41,12 @@ def reverse_diffusion(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
+    score_fn = make_score_fn(model, variables, T=z.shape[1])
 
     def body(i, xt):
         t = (1.0 - (i + 0.5) * h) * jnp.ones((B,), z.dtype)
         noise_t = get_noise(t[:, None, None], dec.beta_min, dec.beta_max)
-        score = model.apply(variables, xt, mask, mu, t, spk, method="estimate_noise")
+        score = score_fn(xt, mask, mu, t, spk)
         if stoc:
             dxt_det = (0.5 * (mu - xt) - score) * noise_t * h
             step_rng = jax.random.fold_in(rng, i)
@@ -79,11 +81,12 @@ def reverse_diffusion_heun(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
+    score_fn = make_score_fn(model, variables, T=z.shape[1])
 
     def drift(xt, t_scalar):
         t = t_scalar * jnp.ones((B,), z.dtype)
         beta = get_noise(t[:, None, None], dec.beta_min, dec.beta_max)
-        score = model.apply(variables, xt, mask, mu, t, spk, method="estimate_noise")
+        score = score_fn(xt, mask, mu, t, spk)
         return 0.5 * (mu - xt - score) * beta * h
 
     def body(i, xt):
@@ -165,11 +168,11 @@ def reverse_diffusion_dpm2m(
         z.dtype,
     )
 
+    score_fn = make_score_fn(model, variables, T=z.shape[1])
+
     def score_x0(y, t_scalar, sig, alp):
         t = t_scalar * jnp.ones((B,), z.dtype)
-        s = model.apply(
-            variables, (mu + y) * mask, mask, mu, t, spk, method="estimate_noise"
-        )
+        s = score_fn((mu + y) * mask, mask, mu, t, spk)
         return (y + sig * sig * s) / alp
 
     def step(carry, c):

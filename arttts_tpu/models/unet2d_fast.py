@@ -1,0 +1,343 @@
+"""Fast serving path for the 2D U-Net score network.
+
+Replaces `GradLogPEstimator2d.__call__` (models/unet2d.py:213-281,
+reference `model/diffusion.py:140-252`) for inference on TPU.  The
+r3 trace breakdown (CLAUDE.md) shows the C=64 levels cost 53% of every
+reverse-diffusion step under XLA — half-lane convs plus ~0.76 ms/step of
+layout copies — so exactly those levels run as fused Pallas kernels
+(`ops/resblock2d_pallas.py`) on the h-parity packed layout, with the
+rezero linear attention computed directly on packed buffers (block-diag
+kron(I_2, W) projections — no spatial reshapes).  The C=128/256 middle
+of the U-Net stays on XLA, whose conv emitters are near-peak at full
+lane width (same finding as the MRF kernel's C=256 gate).
+
+Semantics: identical to the module with masked GroupNorm statistics.
+With `masked_norm=False` configs the fast path still computes masked
+statistics — equal when batches are unpadded (the B=1 serving protocol;
+the reference can only run unpadded batches for exactly this reason,
+`arttts_inference.py:227-231`).
+
+Parity: tests/test_unet2d_fast.py (CPU interpret).  Gating:
+`unet2d_fast_supported` (static) + `unet2d_fast_runtime_enabled`
+(backend + ARTTTS_DISABLE_UNET_PALLAS kill switch).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+
+from arttts_tpu.models.convs import ConvTranspose2dTorch
+from arttts_tpu.models.unet2d import Downsample2d
+from arttts_tpu.ops.resblock2d_pallas import (
+    PAD,
+    pack_block_params,
+    pack_image,
+    pack_resblock_params,
+    pack_resblock_params_wide,
+    pad_wide,
+    resblock2d_packed,
+    resblock2d_supported,
+    resblock2d_wide,
+    split_pack_image,
+    unpack_image,
+    unpad_wide,
+)
+
+
+def unet2d_fast_runtime_enabled() -> bool:
+    """OPT-IN while under development (ARTTTS_ENABLE_UNET_PALLAS=1): the
+    fused kernels beat XLA per-block (resblock 0.303 vs 0.587 ms on v5e)
+    but the first end-to-end wiring measured 0.73x — mixing kernel and
+    XLA domains degraded the remaining XLA convs (r3 trace notes in
+    CLAUDE.md).  The gate flips to default-on when the full loop wins on
+    hardware."""
+    if os.environ.get("ARTTTS_ENABLE_UNET_PALLAS", "0") in ("", "0"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def unet2d_fast_supported(cfg, T: int) -> bool:
+    """Static gate: flagship U-Net geometry at a kernel-compatible length.
+
+    cfg is a ModelConfig.  T is the frame-bucket length: both resolutions
+    must tile by 128 (frame buckets are multiples of 256 in practice)."""
+    d = cfg.decoder
+    return (
+        d.kind == "unet2d"
+        and d.dim == 64
+        and tuple(d.dim_mults) == (1, 2, 4)
+        and d.groups == 8
+        and d.compute_dtype == "float32"
+        and cfg.n_feats % 4 == 0
+        and T % 256 == 0
+        and resblock2d_supported(T, cfg.n_feats // 2, 1)
+        and resblock2d_supported(T // 2, cfg.n_feats // 4, 4)
+        and resblock2d_supported(T // 2, cfg.n_feats // 2, 1, 128)
+        and resblock2d_supported(T // 4, cfg.n_feats // 4, 2, 256)
+    )
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
+    """Rezero(LinearAttention2d) on a packed padded buffer.
+
+    Same math as `models/unet2d.py:125-165` laid out for the packed
+    layout: the qkv / output projections become block-diag kron(I_2, W)
+    matmuls, the per-channel softmax folds the two parity lanes, and the
+    context matrix folds the two diagonal parity quadrants.  The PAD
+    border columns are excluded from the softmax statistics (the module
+    has no such columns); real padded frames stay included, exactly like
+    the module.  heads=4, dim_head=32 (hd=128)."""
+    B, P, Tp, _ = xp.shape
+    W = p["Conv_0"]["kernel"].astype(jnp.float32)  # (64, 384)
+    hd = 128
+    Wq, Wk, Wv = W[:, :hd], W[:, hd : 2 * hd], W[:, 2 * hd :]
+    z = jnp.zeros((64, hd), jnp.float32)
+    Wbig = jnp.concatenate(
+        [
+            jnp.concatenate([Wq, z, Wk, z, Wv, z], axis=1),
+            jnp.concatenate([z, Wq, z, Wk, z, Wv], axis=1),
+        ],
+        axis=0,
+    )  # (128, 768): [q0 q1 k0 k1 v0 v1]
+    qkv = xp @ Wbig
+    q = qkv[..., : 2 * hd]
+    k = qkv[..., 2 * hd : 4 * hd].astype(jnp.float32)
+    v = qkv[..., 4 * hd :]
+
+    col = jnp.arange(Tp)
+    bmask = ((col >= PAD) & (col < Tp - PAD)).astype(jnp.float32)[
+        None, None, :, None
+    ]
+    # softmax is shift-invariant: the max may include the (zero) border
+    # columns; only the exp-sum must exclude them
+    m = jnp.max(k, axis=(1, 2), keepdims=True)
+    m = jnp.maximum(m[..., :hd], m[..., hd:])
+    m = jnp.concatenate([m, m], axis=-1)
+    ke = jnp.exp(k - m) * bmask
+    den = jnp.sum(ke, axis=(1, 2), keepdims=True)
+    den = den[..., :hd] + den[..., hd:]
+    den = jnp.concatenate([den, den], axis=-1)
+    kn = ke / den
+
+    ctx = jnp.einsum("bptx,bpty->bxy", kn, v.astype(jnp.float32))
+    ctx = ctx[:, :hd, :hd] + ctx[:, hd:, hd:]  # fold parity quadrants
+    head = jnp.arange(hd) // 32
+    ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
+
+    out0 = jnp.einsum("bptd,bde->bpte", q[..., :hd], ctx)
+    out1 = jnp.einsum("bptd,bde->bpte", q[..., hd:], ctx)
+    Wp = p["Conv_1"]["kernel"].astype(jnp.float32)  # (128, 64)
+    bp = p["Conv_1"]["bias"].astype(jnp.float32)
+    proj = jnp.concatenate([out0 @ Wp, out1 @ Wp], axis=-1) + jnp.concatenate(
+        [bp, bp]
+    )
+    return xp + g.astype(jnp.float32) * proj
+
+
+def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
+    """Rezero(LinearAttention2d) on a padded wide buffer (B, H, T+2*PAD, C):
+    the module math verbatim (unet2d.py:125-165) with the PAD border
+    columns excluded from the softmax statistics."""
+    B, H, Tp, C = xw.shape
+    hd = 128
+    W = p["Conv_0"]["kernel"].astype(jnp.float32)  # (C, 384)
+    qkv = xw @ W
+    q = qkv[..., :hd]
+    k = qkv[..., hd : 2 * hd].astype(jnp.float32)
+    v = qkv[..., 2 * hd :]
+
+    col = jnp.arange(Tp)
+    bmask = ((col >= PAD) & (col < Tp - PAD)).astype(jnp.float32)[
+        None, None, :, None
+    ]
+    m = jnp.max(k, axis=(1, 2), keepdims=True)
+    ke = jnp.exp(k - m) * bmask
+    kn = ke / jnp.sum(ke, axis=(1, 2), keepdims=True)
+    ctx = jnp.einsum("bptx,bpty->bxy", kn, v.astype(jnp.float32))
+    head = jnp.arange(hd) // 32
+    ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
+    out = jnp.einsum("bptd,bde->bpte", q, ctx)
+    proj = out @ p["Conv_1"]["kernel"].astype(jnp.float32) + p["Conv_1"][
+        "bias"
+    ].astype(jnp.float32)
+    return xw + g.astype(jnp.float32) * proj
+
+
+def score2d_fast(
+    cfg,
+    params: dict,
+    xt: jnp.ndarray,
+    mask: jnp.ndarray,
+    mu: jnp.ndarray,
+    t: jnp.ndarray,
+    spk_emb=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Noise estimate on (B, T, n_feats) inputs; `params` is the
+    estimator's param dict (`variables["params"]["estimator"]`)."""
+    d = cfg.decoder
+    B, T, F = xt.shape
+    dim = d.dim
+    eps = 1e-5 if d.masked_norm else 1e-6
+
+    def kernel(xs, lens, tv, prm, c_in, block_only=False):
+        return resblock2d_packed(
+            xs, lens, tv, prm, c_in=c_in, block_only=block_only,
+            eps=eps, interpret=interpret,
+        )
+
+    # ---- time embedding (unet2d.py:224-228; phases always f32) ---------
+    half = dim // 2
+    freq = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(math.log(10000.0) / (half - 1))
+    )
+    ang = d.pe_scale * t.astype(jnp.float32)[:, None] * freq[None, :]
+    te = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    te = te @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"]
+    t_emb = _mish(te) @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
+    tmish = _mish(t_emb)
+
+    def tvec(pk):
+        v = tmish @ pk["Dense_0"]["kernel"] + pk["Dense_0"]["bias"]
+        return jnp.concatenate([v, v], axis=-1)  # (B, 128) packed
+
+    mask_img = mask[:, None, :, :]  # (B, 1, T, 1)
+    lengths = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+
+    # ---- input planes --------------------------------------------------
+    planes = [jnp.transpose(mu, (0, 2, 1)), jnp.transpose(xt, (0, 2, 1))]
+    if cfg.n_spks > 1:
+        s = spk_emb @ params["Dense_2"]["kernel"] + params["Dense_2"]["bias"]
+        s = _mish(s) @ params["Dense_3"]["kernel"] + params["Dense_3"]["bias"]
+        planes.append(jnp.broadcast_to(s[:, :, None], planes[0].shape))
+    img = jnp.stack(planes, axis=-1)  # (B, F, T, c_in)
+    c_in0 = img.shape[-1]
+
+    # ---- level 1 down: fused kernels + packed attention ---------------
+    hp = kernel(
+        (pack_image(img * mask_img),), lengths,
+        tvec(params["ResnetBlock2d_0"]),
+        pack_resblock_params(params["ResnetBlock2d_0"], c_in0), c_in0,
+    )
+    hp = kernel(
+        (hp,), lengths, tvec(params["ResnetBlock2d_1"]),
+        pack_resblock_params(params["ResnetBlock2d_1"], 64), 64,
+    )
+    hp = _attn_packed(
+        params["LinearAttention2d_0"], params["Rezero_0"]["g"], hp
+    )
+    h = unpack_image(hp)  # (B, F, T, 64)
+
+    m2 = mask_img[:, :, ::2, :]
+    m3 = m2[:, :, ::2, :]
+    lengths2 = (lengths + 1) // 2
+    lengths4 = (lengths2 + 1) // 2
+
+    def rbw(name, c_out, c_chunks, xs_w, lens):
+        return resblock2d_wide(
+            xs_w, lens, tvec_w(params[name], c_out),
+            pack_resblock_params_wide(params[name], c_chunks, c_out),
+            c_out=c_out, eps=eps, interpret=interpret,
+        )
+
+    def tvec_w(pk, c_out):
+        return tmish @ pk["Dense_0"]["kernel"] + pk["Dense_0"]["bias"]
+
+    # ---- levels 2/3 + mid + first up: wide fused kernels --------------
+    h = Downsample2d(64).apply(
+        {"params": params["Downsample2d_0"]}, h * mask_img
+    )  # (B, F/2, T/2, 64)
+    h = rbw("ResnetBlock2d_2", 128, (64,), (pad_wide(h),), lengths2)
+    h = rbw("ResnetBlock2d_3", 128, (128,), (h,), lengths2)
+    h = _attn_wide(params["LinearAttention2d_1"], params["Rezero_1"]["g"], h)
+    hid2 = h  # padded wide (B, F/2, T/2+2*PAD, 128)
+    h = Downsample2d(128).apply(
+        {"params": params["Downsample2d_1"]}, unpad_wide(h) * m2
+    )  # (B, F/4, T/4, 128)
+    h = rbw("ResnetBlock2d_4", 256, (128,), (pad_wide(h),), lengths4)
+    h = rbw("ResnetBlock2d_5", 256, (256,), (h,), lengths4)
+    h = _attn_wide(params["LinearAttention2d_2"], params["Rezero_2"]["g"], h)
+    hid3 = h
+
+    h = rbw("ResnetBlock2d_6", 256, (256,), (h,), lengths4)
+    h = _attn_wide(params["LinearAttention2d_3"], params["Rezero_3"]["g"], h)
+    h = rbw("ResnetBlock2d_7", 256, (256,), (h,), lengths4)
+
+    h = rbw("ResnetBlock2d_8", 128, (256, 256), (h, hid3), lengths4)
+    h = rbw("ResnetBlock2d_9", 128, (128,), (h,), lengths4)
+    h = _attn_wide(params["LinearAttention2d_4"], params["Rezero_4"]["g"], h)
+    h = ConvTranspose2dTorch(128, 128, 4, 2, 1).apply(
+        {"params": params["ConvTranspose2dTorch_0"]}, unpad_wide(h) * m3
+    )  # -> (B, F/2, T/2, 128)
+
+    # ---- second up at half resolution: packed fused kernels -----------
+    xs = split_pack_image(h * m2) + split_pack_image(unpad_wide(hid2) * m2)
+    hq = kernel(
+        xs, lengths2, tvec(params["ResnetBlock2d_10"]),
+        pack_resblock_params(params["ResnetBlock2d_10"], 256), 256,
+    )
+    hq = kernel(
+        (hq,), lengths2, tvec(params["ResnetBlock2d_11"]),
+        pack_resblock_params(params["ResnetBlock2d_11"], 64), 64,
+    )
+    hq = _attn_packed(
+        params["LinearAttention2d_5"], params["Rezero_5"]["g"], hq
+    )
+    h = unpack_image(hq)  # (B, F/2, T/2, 64)
+    h = ConvTranspose2dTorch(64, 64, 4, 2, 1).apply(
+        {"params": params["ConvTranspose2dTorch_1"]}, h * m2
+    )  # -> (B, F, T, 64)
+
+    # ---- final block + 1-channel projection, packed -------------------
+    fp = kernel(
+        (pack_image(h * mask_img),), lengths,
+        jnp.zeros((B, 128), jnp.float32),
+        pack_block_params(params["Block2d_0"]), 64, block_only=True,
+    )
+    wf = params["Conv_0"]["kernel"].astype(jnp.float32)  # (64, 1)
+    zf = jnp.zeros_like(wf)
+    w2 = jnp.concatenate(
+        [jnp.concatenate([wf, zf], axis=1), jnp.concatenate([zf, wf], axis=1)],
+        axis=0,
+    )  # (128, 2): parity-separate single-channel outputs
+    o = fp @ w2 + params["Conv_0"]["bias"]  # (B, F/2, T+2*PAD, 2)
+    o = o[:, :, PAD:-PAD, :]
+    out = jnp.transpose(o, (0, 1, 3, 2)).reshape(B, F, T)
+    out = out * mask_img[:, 0, :, 0][:, None, :]
+    return jnp.transpose(out, (0, 2, 1))  # (B, T, F)
+
+
+def make_score_fn(model, variables, T: int, interpret: bool = False):
+    """Dispatch: the fused fast path when supported on this backend,
+    otherwise the module's `estimate_noise`.  `model` is a GradTTSModel;
+    T is the (static) frame-bucket length."""
+    cfg = model.config
+    use_fast = (
+        unet2d_fast_supported(cfg, T)
+        and (interpret or unet2d_fast_runtime_enabled())
+    )
+    if not use_fast:
+        return lambda xt, mask, mu, t, spk: model.apply(
+            variables, xt, mask, mu, t, spk, method="estimate_noise"
+        )
+
+    est_params = variables["params"]["estimator"]
+
+    def score(xt, mask, mu, t, spk):
+        emb = None
+        if cfg.n_spks > 1:
+            emb = model.apply(variables, spk, method="embed_speaker")
+        return score2d_fast(
+            cfg, est_params, xt, mask, mu, t, emb, interpret=interpret
+        )
+
+    return score

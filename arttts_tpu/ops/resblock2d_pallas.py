@@ -66,30 +66,40 @@ N_PAIRS = 40  # 80 feature rows / 2
 PAD = 8
 
 
-def _scratch_bytes(T: int, n_pairs: int) -> int:
-    return n_pairs * (2 * T + 2 * PAD) * LANES * 4
+def _scratch_bytes(T: int, n_rows: int, lanes: int = LANES) -> int:
+    return n_rows * (2 * T + 2 * PAD) * lanes * 4
 
 
-def _tile_bytes(T_b: int, n_pairs: int) -> int:
-    return n_pairs * (T_b + 2 * PAD) * LANES * 4
+def _tile_bytes(T_b: int, n_rows: int, lanes: int = LANES) -> int:
+    return n_rows * (T_b + 2 * PAD) * lanes * 4
 
 
-def resblock2d_supported(T: int, n_pairs: int, n_in: int = 1) -> bool:
-    """T must tile by 128.  `n_in` packed inputs each add a tile buffer."""
-    if T % 128:
+def resblock2d_supported(
+    T: int, n_rows: int, n_in: int = 1, lanes: int = LANES
+) -> bool:
+    """T must tile by 64.  `n_in` inputs each add a tile buffer."""
+    if T % 64:
         return False
-    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(T, n_pairs)
-    need = (N_LIVE_BUFFERS + n_in) * _tile_bytes(128, n_pairs)
+    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(
+        T, n_rows, lanes
+    )
+    need = (N_LIVE_BUFFERS + n_in) * _tile_bytes(64, n_rows, lanes)
     return usable >= need + 2 * 1024 * 1024
 
 
-def _pick_tile(T: int, n_pairs: int, n_in: int) -> int:
-    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(T, n_pairs)
+def _pick_tile(T: int, n_rows: int, n_in: int, lanes: int = LANES) -> int:
+    usable = VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES - _scratch_bytes(
+        T, n_rows, lanes
+    )
     n_bufs = N_LIVE_BUFFERS + n_in
-    t = 128
-    while T % (t * 2) == 0 and n_bufs * _tile_bytes(t * 2, n_pairs) <= usable:
+    t = 64
+    while T % (t * 2) == 0 and n_bufs * _tile_bytes(
+        t * 2, n_rows, lanes
+    ) <= usable:
         t *= 2
-    est = _scratch_bytes(T, n_pairs) + n_bufs * _tile_bytes(t, n_pairs)
+    est = _scratch_bytes(T, n_rows, lanes) + n_bufs * _tile_bytes(
+        t, n_rows, lanes
+    )
     assert est <= VMEM_LIMIT_BYTES - VMEM_SLACK_BYTES, (
         f"resblock2d tile {t} estimated VMEM {est/2**20:.1f} MiB over budget"
     )
@@ -112,36 +122,52 @@ def pack_conv3x3(w: jnp.ndarray) -> jnp.ndarray:
     Derivation: output h = 2p + o needs input h' = h + dh; h' = 2q + par
     lands in pair q = p + (o + dh - par)/2.  q == p gives the dense same-
     pair matrix; q = p±1 each contribute exactly one parity block, packed
-    together into the composite matrix.
+    together into the composite matrix.  Pure jnp (traceable): the fast
+    serving path packs weights inside its jit.
     """
     assert w.shape[:2] == (3, 3) and w.shape[2] <= C_HALF, w.shape
     c_in = w.shape[2]
-    out = np.zeros((3, 2, 2 * C_HALF, 2 * C_HALF), dtype=np.float32)
-    wn = np.asarray(w, np.float32)  # [dh+1, dt+1, ci, co]
-    for it in range(3):  # dt + 1
-        for par_in in range(2):
-            for o in range(2):
-                dh = par_in - o  # same-pair tap
-                out[it, 0, par_in * C_HALF : par_in * C_HALF + c_in,
-                    o * C_HALF : (o + 1) * C_HALF] = wn[dh + 1, it]
-        # cross-pair composite: lanes [0, 64) hold pair p+1 parity 0,
-        # which feeds output o=1 via dh = +1; lanes [64, 128) hold
-        # pair p-1 parity 1, feeding o=0 via dh = -1.
-        out[it, 1, :c_in, C_HALF : 2 * C_HALF] = wn[2, it]
-        out[it, 1, C_HALF : C_HALF + c_in, :C_HALF] = wn[0, it]
-    return jnp.asarray(out)
+    wp = jnp.asarray(w, jnp.float32)
+    if c_in < C_HALF:
+        wp = jnp.pad(wp, ((0, 0), (0, 0), (0, C_HALF - c_in), (0, 0)))
+    z = jnp.zeros((C_HALF, C_HALF), jnp.float32)
+    mats = []
+    for it in range(3):
+        same = jnp.concatenate(
+            [
+                jnp.concatenate([wp[1, it], wp[0, it]], axis=1),
+                jnp.concatenate([wp[2, it], wp[1, it]], axis=1),
+            ],
+            axis=0,
+        )
+        cross = jnp.concatenate(
+            [
+                jnp.concatenate([z, wp[2, it]], axis=1),
+                jnp.concatenate([wp[0, it], z], axis=1),
+            ],
+            axis=0,
+        )
+        mats.append(jnp.stack([same, cross]))
+    return jnp.stack(mats)
 
 
 def pack_dense(w: jnp.ndarray) -> jnp.ndarray:
     """(C_in, 64) 1x1-projection matrix (C_in <= 64) -> (128, 128)
-    block-diag kron(I_2, w): each parity maps through the same dense."""
+    block-diag kron(I_2, w): each parity maps through the same dense.
+    Pure jnp (traceable)."""
     c_in, c_out = w.shape
     assert c_out == C_HALF and c_in <= C_HALF, w.shape
-    out = np.zeros((2 * C_HALF, 2 * C_HALF), np.float32)
-    wn = np.asarray(w, np.float32)
-    out[:c_in, :C_HALF] = wn
-    out[C_HALF : C_HALF + c_in, C_HALF:] = wn
-    return jnp.asarray(out)
+    wp = jnp.asarray(w, jnp.float32)
+    if c_in < C_HALF:
+        wp = jnp.pad(wp, ((0, C_HALF - c_in), (0, 0)))
+    z = jnp.zeros((C_HALF, C_HALF), jnp.float32)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([wp, z], axis=1),
+            jnp.concatenate([z, wp], axis=1),
+        ],
+        axis=0,
+    )
 
 
 def pack_lane_vec(v: jnp.ndarray) -> jnp.ndarray:
@@ -218,6 +244,47 @@ def _conv3x3_packed(x, w_ref, bf16: bool = True):
     return acc
 
 
+def _conv3x3_wide(x, w_ref, bf16: bool = True):
+    """SAME 3x3 conv on an UNPACKED haloed tile (bias NOT applied).
+
+    x: (H, L, c_in) f32 with one zero/masked frame of halo each side on L
+    and channels directly on lanes (c_in <= 256); w_ref: (3, 3, c_in, C)
+    HWIO weights.  Plain 9-dot formulation for full-lane channel widths
+    (C in {128, 256}) where no parity packing is needed."""
+    dt_ = jnp.bfloat16 if bf16 else jnp.float32
+    zrow = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    acc = None
+    for kt in range(3):
+        dt = kt - 1
+        xr = pltpu.roll(x, (-dt) % x.shape[1], axis=1) if dt else x
+        ops = (
+            jnp.concatenate([zrow, xr[:-1]], axis=0),  # dh = -1
+            xr,                                        # dh = 0
+            jnp.concatenate([xr[1:], zrow], axis=0),   # dh = +1
+        )
+        for kh in range(3):
+            part = jax.lax.dot_general(
+                ops[kh].astype(dt_), w_ref[kh, kt].astype(dt_),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _fold_groups_wide(v, lanes: int):
+    """(1, lanes) per-lane sums -> per-group totals broadcast to lanes;
+    channels sit directly on lanes, group width = lanes // 8."""
+    gw = lanes // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    same = lane // gw == lane_t // gw
+    return jax.lax.dot_general(
+        v, same.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fold_groups(v):
     """(1, 128) per-lane sums -> per-group totals broadcast to lanes.
 
@@ -259,6 +326,8 @@ def _resblock_kernel(
     block_only: bool,
     eps: float,
     bf16: bool,
+    wide: bool = False,
+    lanes: int = LANES,
 ):
     # ---- unpack refs (order mirrors the pallas_call operand list) -------
     pos = 0
@@ -291,10 +360,29 @@ def _resblock_kernel(
     t0 = i * T_b
     L = T_b + 2 * PAD
     length = lens_ref[b]
-    # packed-buffer column c of this tile holds frame t0 + c - PAD
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (1, L, LANES), 1) + (t0 - PAD)
-    valid = ((fidx >= 0) & (fidx < length)).astype(jnp.float32)
-    count = (n_pairs * 2 * 8) * length.astype(jnp.float32)
+    # buffer column c of this tile holds frame t0 + c - PAD
+    def val(width):
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (1, L, width), 1) + (
+            t0 - PAD
+        )
+        return ((fidx >= 0) & (fidx < length)).astype(jnp.float32)
+
+    valid = val(lanes)
+    # per-group valid elements: rows x group-width x valid frames
+    gw = 8 if not wide else lanes // 8
+    count = (n_pairs * (2 if not wide else 1) * gw) * length.astype(
+        jnp.float32
+    )
+
+    def conv(x, w):
+        if wide:
+            return _conv3x3_wide(x, w, bf16)
+        return _conv3x3_packed(x, w, bf16)
+
+    def fold(v):
+        if wide:
+            return _fold_groups_wide(v, lanes)
+        return _fold_groups(v)
 
     def dma_inputs():
         cps = [
@@ -314,7 +402,8 @@ def _resblock_kernel(
         dma_inputs()
         acc = None
         for j in range(n_in):
-            part = _conv3x3_packed(xss[j][:] * valid, w1s[j], bf16)
+            vj = valid if xss[j].shape[-1] == lanes else val(xss[j].shape[-1])
+            part = conv(xss[j][:] * vj, w1s[j])
             acc = part if acc is None else acc + part
         h1 = (acc + b1[:][None]) * valid
         interior = h1[:, PAD : T_b + PAD, :]
@@ -323,7 +412,7 @@ def _resblock_kernel(
         def _():
             s11[:] = jnp.zeros_like(s11)
             s21[:] = jnp.zeros_like(s21)
-            zpad = jnp.zeros((n_pairs, PAD, LANES), jnp.float32)
+            zpad = jnp.zeros((n_pairs, PAD, lanes), jnp.float32)
             h1_scr[:, 0:PAD, :] = zpad
             h1_scr[:, T + PAD : T + 2 * PAD, :] = zpad
 
@@ -338,22 +427,22 @@ def _resblock_kernel(
             # final Block2d: normalize + mish + mask -> out (no conv2)
             h1w = h1_scr[:, pl.ds(t0, L), :]
             y = _normalize(
-                h1w, _fold_groups(s11[:]), _fold_groups(s21[:]),
+                h1w, fold(s11[:]), fold(s21[:]),
                 count, g1s[:], g1b[:], eps,
             )
             y = _mish(y) * valid
             _emit(
                 y[:, PAD : T_b + PAD, :], out_scr, out_hbm, sem_out,
-                b, i, t0, T_b, n_tiles, n_pairs,
+                b, i, t0, T_b, n_tiles, n_pairs, lanes,
             )
         else:
             h1w = h1_scr[:, pl.ds(t0, L), :]
             hn = _normalize(
-                h1w, _fold_groups(s11[:]), _fold_groups(s21[:]),
+                h1w, fold(s11[:]), fold(s21[:]),
                 count, g1s[:], g1b[:], eps,
             )
             hp = (_mish(hn) * valid + temb_ref[:][None]) * valid
-            h2 = (_conv3x3_packed(hp, w2, bf16) + b2[:][None]) * valid
+            h2 = (conv(hp, w2) + b2[:][None]) * valid
             interior = h2[:, PAD : T_b + PAD, :]
 
             @pl.when(i == 0)
@@ -373,7 +462,7 @@ def _resblock_kernel(
             dma_inputs()
             h2w = h2_scr[:, pl.ds(t0, T_b), :]
             y = _normalize(
-                h2w, _fold_groups(s12[:]), _fold_groups(s22[:]),
+                h2w, fold(s12[:]), fold(s22[:]),
                 count, g2s[:], g2b[:], eps,
             )
             vi = valid[:, PAD : T_b + PAD, :]
@@ -384,7 +473,9 @@ def _resblock_kernel(
                 dt_ = jnp.bfloat16 if bf16 else jnp.float32
                 res = None
                 for j in range(n_in):
-                    xi = xss[j][:, PAD : T_b + PAD, :] * vi
+                    cw = xss[j].shape[-1]
+                    vij = vi if cw == lanes else val(cw)[:, PAD : T_b + PAD, :]
+                    xi = xss[j][:, PAD : T_b + PAD, :] * vij
                     part = jax.lax.dot_general(
                         xi.astype(dt_), wres[j][:].astype(dt_),
                         (((2,), (0,)), ((), ())),
@@ -397,18 +488,18 @@ def _resblock_kernel(
                 res = res + bres[:][None]
             _emit(
                 y + res, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
-                n_pairs,
+                n_pairs, lanes,
             )
 
 
 def _emit(y_interior, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
-          n_pairs):
+          n_pairs, lanes=LANES):
     """Write a tile's (n_pairs, T_b, 128) result into the PAD-padded HBM
     output.  Border zeros are written by the first/last tile only (a zero
     written by tile i's left edge would clobber tile i-1's last result
     columns); every DMA offset/size is a multiple of the sublane tile."""
     out_scr[:, PAD : T_b + PAD, :] = y_interior
-    zpad = jnp.zeros((n_pairs, PAD, LANES), jnp.float32)
+    zpad = jnp.zeros((n_pairs, PAD, lanes), jnp.float32)
 
     @pl.when(i == 0)
     def _():
@@ -592,6 +683,126 @@ def resblock2d_packed(
         out_shape=jax.ShapeDtypeStruct(
             (B, n_pairs, T + 2 * PAD, LANES), jnp.float32
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), *xs, temb, *params)
+
+
+# ---------------------------------------------------------------------------
+# Wide mode: C in {128, 256} with channels directly on lanes (no parity
+# packing — full-lane widths need none).  Same 3-phase fused ResnetBlock2d.
+# ---------------------------------------------------------------------------
+
+
+def pad_wide(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, C) -> (B, H, T+2*PAD, C) with zero borders."""
+    return jnp.pad(x, ((0, 0), (0, 0), (PAD, PAD), (0, 0)))
+
+
+def unpad_wide(x: jnp.ndarray) -> jnp.ndarray:
+    return x[:, :, PAD:-PAD, :]
+
+
+def pack_resblock_params_wide(
+    p: dict, c_chunks: Tuple[int, ...], c_out: int
+) -> Tuple[jnp.ndarray, ...]:
+    """Flax `ResnetBlock2d` params -> flat tuple for `resblock2d_wide`.
+    Conv/residual weights stay HWIO, split by input chunk."""
+    bl0, bl1 = p["Block2d_0"], p["Block2d_1"]
+    w1 = bl0["Conv_0"]["kernel"]  # (3, 3, c_in, c_out)
+    offs = np.cumsum((0,) + tuple(c_chunks))
+    flat = [w1[:, :, offs[j] : offs[j + 1]] for j in range(len(c_chunks))]
+    flat += [
+        bl0["Conv_0"]["bias"][None],
+        bl0["GroupNorm_0"]["scale"][None],
+        bl0["GroupNorm_0"]["bias"][None],
+        bl1["Conv_0"]["kernel"],
+        bl1["Conv_0"]["bias"][None],
+        bl1["GroupNorm_0"]["scale"][None],
+        bl1["GroupNorm_0"]["bias"][None],
+    ]
+    c_in = sum(c_chunks)
+    if c_in != c_out:
+        wres = p["Conv_0"]["kernel"]  # (c_in, c_out)
+        flat += [wres[offs[j] : offs[j + 1]] for j in range(len(c_chunks))]
+        flat += [p["Conv_0"]["bias"][None]]
+    return tuple(flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_out", "interpret", "eps", "bf16"),
+)
+def resblock2d_wide(
+    xs: Tuple[jnp.ndarray, ...],
+    lengths: jnp.ndarray,
+    temb: jnp.ndarray,
+    params: Tuple[jnp.ndarray, ...],
+    c_out: int,
+    interpret: bool = False,
+    eps: float = 1e-5,
+    bf16: bool = True,
+) -> jnp.ndarray:
+    """Fused ResnetBlock2d at full-lane channel widths.
+
+    xs: tuple of (B, H, T+2*PAD, c_j) channel chunks of the block input
+    (`pad_wide`; concats never materialize).  temb: (B, c_out).  Returns
+    (B, H, T+2*PAD, c_out)."""
+    if not isinstance(xs, tuple):
+        xs = (xs,)
+    n_in = len(xs)
+    B, H, Tp, _ = xs[0].shape
+    T = Tp - 2 * PAD
+    assert resblock2d_supported(T, H, n_in, c_out), (T, H, n_in, c_out)
+    identity_res = n_in == 1 and xs[0].shape[-1] == c_out
+    T_b = _pick_tile(T, H, n_in, c_out)
+    n_tiles = T // T_b
+    L = T_b + 2 * PAD
+
+    kern = functools.partial(
+        _resblock_kernel,
+        T=T,
+        T_b=T_b,
+        n_tiles=n_tiles,
+        n_pairs=H,
+        n_in=n_in,
+        identity_res=identity_res,
+        block_only=False,
+        eps=eps,
+        bf16=bf16,
+        wide=True,
+        lanes=c_out,
+    )
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [any_spec] * n_in
+    in_specs.append(
+        pl.BlockSpec((1, c_out), lambda b, ph, i, lens: (b, 0))
+    )  # temb row
+    in_specs += [vec_spec] * len(params)
+
+    scratch = [
+        pltpu.VMEM((H, L, x.shape[-1]), jnp.float32) for x in xs
+    ]  # xss
+    scratch.append(pltpu.VMEM((H, T + 2 * PAD, c_out), jnp.float32))  # h1
+    scratch.append(pltpu.VMEM((H, T, c_out), jnp.float32))  # h2
+    scratch += [pltpu.VMEM((1, c_out), jnp.float32)] * 4  # stats
+    scratch.append(pltpu.VMEM((H, L, c_out), jnp.float32))  # out_scr
+    scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, 3, n_tiles),
+            in_specs=in_specs,
+            out_specs=any_spec,
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T + 2 * PAD, c_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),

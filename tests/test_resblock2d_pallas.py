@@ -117,3 +117,55 @@ def test_pack_unpack_roundtrip():
     assert jnp.array_equal(unpack_image(pack_image(x)), x)
     x2 = jnp.asarray(rng.standard_normal((1, 80, 64, 2)).astype(np.float32))
     assert jnp.array_equal(unpack_image(pack_image(x2), C=2), x2)
+
+
+@pytest.mark.parametrize(
+    "c_out,c_chunks,B,H,T,lengths",
+    [
+        (128, (64,), 1, 40, 128, [128]),    # L2 entry (downsampled input)
+        (128, (128,), 2, 40, 128, [128, 91]),
+        (256, (256,), 1, 20, 128, [77]),    # L3 body
+        (128, (256, 256), 1, 20, 128, [128]),  # first up: mid + skip concat
+    ],
+)
+def test_resblock_wide_parity(c_out, c_chunks, B, H, T, lengths):
+    from arttts_tpu.ops.resblock2d_pallas import (
+        pack_resblock_params_wide,
+        pad_wide,
+        resblock2d_wide,
+        unpad_wide,
+    )
+
+    c_in = sum(c_chunks)
+    rng = np.random.default_rng(c_out + c_in + H)
+    x, mask, temb = _inputs(rng, B, H, T, c_in, lengths)
+
+    mod = ResnetBlock2d(dim_out=c_out, masked_norm=True)
+    variables = mod.init(jax.random.PRNGKey(0), x, mask, temb)
+    ref = mod.apply(variables, x, mask, temb)
+
+    p = variables["params"]
+    params = pack_resblock_params_wide(p, c_chunks, c_out)
+    tv = jnp.tanh(jax.nn.softplus(temb)) * temb
+    tv = tv @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]  # (B, c_out)
+
+    offs = np.cumsum((0,) + c_chunks)
+    xs = tuple(
+        pad_wide(x[..., offs[j] : offs[j + 1]]) for j in range(len(c_chunks))
+    )
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    got = unpad_wide(
+        resblock2d_wide(xs, lens, tv, params, c_out=c_out, interpret=True,
+                        bf16=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+    got_b = unpad_wide(
+        resblock2d_wide(xs, lens, tv, params, c_out=c_out, interpret=True,
+                        bf16=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_b), np.asarray(ref), atol=6e-2, rtol=6e-2
+    )
