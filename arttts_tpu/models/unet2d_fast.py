@@ -85,6 +85,24 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def _bdot(a, b):
+    """Large attention contraction in bf16 with f32 accumulation — the
+    same multiply precision XLA gives the model's convs on v5e; f32 dots
+    here run at the slow 3-pass MXU rate and dominated the first fast-path
+    A/B (r3 trace)."""
+    return jnp.matmul(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _beinsum(spec, a, b):
+    return jnp.einsum(
+        spec, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
     """Rezero(LinearAttention2d) on a packed padded buffer.
 
@@ -107,9 +125,9 @@ def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=0,
     )  # (128, 768): [q0 q1 k0 k1 v0 v1]
-    qkv = xp @ Wbig
+    qkv = _bdot(xp, Wbig)
     q = qkv[..., : 2 * hd]
-    k = qkv[..., 2 * hd : 4 * hd].astype(jnp.float32)
+    k = qkv[..., 2 * hd : 4 * hd]
     v = qkv[..., 4 * hd :]
 
     col = jnp.arange(Tp)
@@ -127,18 +145,18 @@ def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
     den = jnp.concatenate([den, den], axis=-1)
     kn = ke / den
 
-    ctx = jnp.einsum("bptx,bpty->bxy", kn, v.astype(jnp.float32))
+    ctx = _beinsum("bptx,bpty->bxy", kn, v)
     ctx = ctx[:, :hd, :hd] + ctx[:, hd:, hd:]  # fold parity quadrants
     head = jnp.arange(hd) // 32
     ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
 
-    out0 = jnp.einsum("bptd,bde->bpte", q[..., :hd], ctx)
-    out1 = jnp.einsum("bptd,bde->bpte", q[..., hd:], ctx)
-    Wp = p["Conv_1"]["kernel"].astype(jnp.float32)  # (128, 64)
+    out0 = _beinsum("bptd,bde->bpte", q[..., :hd], ctx)
+    out1 = _beinsum("bptd,bde->bpte", q[..., hd:], ctx)
+    Wp = p["Conv_1"]["kernel"]  # (128, 64)
     bp = p["Conv_1"]["bias"].astype(jnp.float32)
-    proj = jnp.concatenate([out0 @ Wp, out1 @ Wp], axis=-1) + jnp.concatenate(
-        [bp, bp]
-    )
+    proj = jnp.concatenate(
+        [_bdot(out0, Wp), _bdot(out1, Wp)], axis=-1
+    ) + jnp.concatenate([bp, bp])
     return xp + g.astype(jnp.float32) * proj
 
 
@@ -148,10 +166,10 @@ def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     columns excluded from the softmax statistics."""
     B, H, Tp, C = xw.shape
     hd = 128
-    W = p["Conv_0"]["kernel"].astype(jnp.float32)  # (C, 384)
-    qkv = xw @ W
+    W = p["Conv_0"]["kernel"]  # (C, 384)
+    qkv = _bdot(xw, W)
     q = qkv[..., :hd]
-    k = qkv[..., hd : 2 * hd].astype(jnp.float32)
+    k = qkv[..., hd : 2 * hd]
     v = qkv[..., 2 * hd :]
 
     col = jnp.arange(Tp)
@@ -161,13 +179,13 @@ def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     m = jnp.max(k, axis=(1, 2), keepdims=True)
     ke = jnp.exp(k - m) * bmask
     kn = ke / jnp.sum(ke, axis=(1, 2), keepdims=True)
-    ctx = jnp.einsum("bptx,bpty->bxy", kn, v.astype(jnp.float32))
+    ctx = _beinsum("bptx,bpty->bxy", kn, v)
     head = jnp.arange(hd) // 32
     ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
-    out = jnp.einsum("bptd,bde->bpte", q, ctx)
-    proj = out @ p["Conv_1"]["kernel"].astype(jnp.float32) + p["Conv_1"][
-        "bias"
-    ].astype(jnp.float32)
+    out = _beinsum("bptd,bde->bpte", q, ctx)
+    proj = _bdot(out, p["Conv_1"]["kernel"]) + p["Conv_1"]["bias"].astype(
+        jnp.float32
+    )
     return xw + g.astype(jnp.float32) * proj
 
 
