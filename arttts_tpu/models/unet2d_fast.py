@@ -75,8 +75,7 @@ def unet2d_fast_supported(cfg, T: int) -> bool:
         and cfg.n_feats % 4 == 0
         and T % 256 == 0
         and resblock2d_supported(T, cfg.n_feats // 2, 1)
-        and resblock2d_supported(T // 2, cfg.n_feats // 4, 4)
-        and resblock2d_supported(T // 2, cfg.n_feats // 2, 1, 128)
+        and resblock2d_supported(T // 2, cfg.n_feats // 2, 2, 128)
         and resblock2d_supported(T // 4, cfg.n_feats // 4, 2, 256)
     )
 
@@ -163,10 +162,16 @@ def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
 def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     """Rezero(LinearAttention2d) on a padded wide buffer (B, H, T+2*PAD, C):
     the module math verbatim (unet2d.py:125-165) with the PAD border
-    columns excluded from the softmax statistics."""
+    columns excluded from the softmax statistics.  When the buffer is
+    wider than the real channel count (real64 layout: 64 channels in 128
+    lanes, upper half zero), the projections zero-pad to the buffer width
+    so the layout is preserved."""
     B, H, Tp, C = xw.shape
     hd = 128
-    W = p["Conv_0"]["kernel"]  # (C, 384)
+    W = p["Conv_0"]["kernel"]  # (real_c, 384)
+    real_c = W.shape[0]
+    if real_c < C:
+        W = jnp.pad(W, ((0, C - real_c), (0, 0)))
     qkv = _bdot(xw, W)
     q = qkv[..., :hd]
     k = qkv[..., hd : 2 * hd]
@@ -183,9 +188,12 @@ def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     head = jnp.arange(hd) // 32
     ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
     out = _beinsum("bptd,bde->bpte", q, ctx)
-    proj = _bdot(out, p["Conv_1"]["kernel"]) + p["Conv_1"]["bias"].astype(
-        jnp.float32
-    )
+    Wp = p["Conv_1"]["kernel"]
+    bp = p["Conv_1"]["bias"].astype(jnp.float32)
+    if real_c < C:
+        Wp = jnp.pad(Wp, ((0, 0), (0, C - real_c)))
+        bp = jnp.pad(bp, (0, C - real_c))
+    proj = _bdot(out, Wp) + bp
     return xw + g.astype(jnp.float32) * proj
 
 
@@ -297,20 +305,28 @@ def score2d_fast(
         {"params": params["ConvTranspose2dTorch_0"]}, unpad_wide(h) * m3
     )  # -> (B, F/2, T/2, 128)
 
-    # ---- second up at half resolution: packed fused kernels -----------
-    xs = split_pack_image(h * m2) + split_pack_image(unpad_wide(hid2) * m2)
-    hq = kernel(
-        xs, lengths2, tvec(params["ResnetBlock2d_10"]),
-        pack_resblock_params(params["ResnetBlock2d_10"], 256), 256,
+    # ---- second up at half resolution: real64 wide kernels ------------
+    # (64 output channels carried in 128-lane buffers, upper half zero:
+    # no parity packing or lane slicing between kernels)
+    def rbw64(name, c_chunks, xs_w, lens):
+        tv = jnp.pad(tvec_w(params[name], 64), ((0, 0), (0, 64)))
+        return resblock2d_wide(
+            xs_w, lens, tv,
+            pack_resblock_params_wide(
+                params[name], c_chunks, 64, real64=True
+            ),
+            c_out=64, c_chunks=c_chunks, eps=eps, interpret=interpret,
+            real64=True,
+        )
+
+    hq = rbw64(
+        "ResnetBlock2d_10", (128, 128), (pad_wide(h), hid2), lengths2
     )
-    hq = kernel(
-        (hq,), lengths2, tvec(params["ResnetBlock2d_11"]),
-        pack_resblock_params(params["ResnetBlock2d_11"], 64), 64,
-    )
-    hq = _attn_packed(
+    hq = rbw64("ResnetBlock2d_11", (64,), (hq,), lengths2)
+    hq = _attn_wide(
         params["LinearAttention2d_5"], params["Rezero_5"]["g"], hq
     )
-    h = unpack_image(hq)  # (B, F/2, T/2, 64)
+    h = unpad_wide(hq)[..., :64]  # (B, F/2, T/2, 64)
     h = ConvTranspose2dTorch(64, 64, 4, 2, 1).apply(
         {"params": params["ConvTranspose2dTorch_1"]}, h * m2
     )  # -> (B, F, T, 64)

@@ -328,6 +328,7 @@ def _resblock_kernel(
     bf16: bool,
     wide: bool = False,
     lanes: int = LANES,
+    real64: bool = False,
 ):
     # ---- unpack refs (order mirrors the pallas_call operand list) -------
     pos = 0
@@ -369,10 +370,13 @@ def _resblock_kernel(
 
     valid = val(lanes)
     # per-group valid elements: rows x group-width x valid frames
-    gw = 8 if not wide else lanes // 8
-    count = (n_pairs * (2 if not wide else 1) * gw) * length.astype(
-        jnp.float32
-    )
+    if not wide:
+        n_elem = n_pairs * 2 * 8  # parity pairs, groups of 8
+    elif real64:
+        n_elem = n_pairs * 8  # 64 real channels in 128 lanes
+    else:
+        n_elem = n_pairs * (lanes // 8)
+    count = n_elem * length.astype(jnp.float32)
 
     def conv(x, w):
         if wide:
@@ -380,9 +384,13 @@ def _resblock_kernel(
         return _conv3x3_packed(x, w, bf16)
 
     def fold(v):
-        if wide:
-            return _fold_groups_wide(v, lanes)
-        return _fold_groups(v)
+        if not wide:
+            return _fold_groups(v)
+        if real64:
+            # real channels in lanes [0, 64); the upper half is zero, and
+            # the packed fold (groups on lane % 64) sums it in harmlessly
+            return _fold_groups(v)
+        return _fold_groups_wide(v, lanes)
 
     def dma_inputs():
         cps = [
@@ -706,34 +714,61 @@ def unpad_wide(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_resblock_params_wide(
-    p: dict, c_chunks: Tuple[int, ...], c_out: int
+    p: dict, c_chunks: Tuple[int, ...], c_out: int, real64: bool = False
 ) -> Tuple[jnp.ndarray, ...]:
     """Flax `ResnetBlock2d` params -> flat tuple for `resblock2d_wide`.
-    Conv/residual weights stay HWIO, split by input chunk."""
+    Conv/residual weights stay HWIO, split by input chunk.
+
+    With `real64` (c_out == 64 carried in 128-lane buffers, upper half
+    zero): every output dim pads 64 -> 128 with zeros, and 64-real input
+    chunks pad their input dim the same way (their buffers are 128-lane
+    with a zero upper half, matching the zero weight rows)."""
+
+    def pad_out(w):
+        if not real64:
+            return w
+        pw = [(0, 0)] * (w.ndim - 1) + [(0, 2 * C_HALF - w.shape[-1])]
+        return jnp.pad(w, pw)
+
+    def pad_in(w, axis):
+        # pad a 64-real input dim to the 128-lane buffer width
+        if not real64 or w.shape[axis] != C_HALF:
+            return w
+        pw = [(0, 0)] * w.ndim
+        pw[axis] = (0, C_HALF)
+        return jnp.pad(w, pw)
+
     bl0, bl1 = p["Block2d_0"], p["Block2d_1"]
     w1 = bl0["Conv_0"]["kernel"]  # (3, 3, c_in, c_out)
     offs = np.cumsum((0,) + tuple(c_chunks))
-    flat = [w1[:, :, offs[j] : offs[j + 1]] for j in range(len(c_chunks))]
+    flat = [
+        pad_out(pad_in(w1[:, :, offs[j] : offs[j + 1]], 2))
+        for j in range(len(c_chunks))
+    ]
     flat += [
-        bl0["Conv_0"]["bias"][None],
-        bl0["GroupNorm_0"]["scale"][None],
-        bl0["GroupNorm_0"]["bias"][None],
-        bl1["Conv_0"]["kernel"],
-        bl1["Conv_0"]["bias"][None],
-        bl1["GroupNorm_0"]["scale"][None],
-        bl1["GroupNorm_0"]["bias"][None],
+        pad_out(bl0["Conv_0"]["bias"])[None],
+        pad_out(bl0["GroupNorm_0"]["scale"])[None],
+        pad_out(bl0["GroupNorm_0"]["bias"])[None],
+        pad_out(pad_in(bl1["Conv_0"]["kernel"], 2)),
+        pad_out(bl1["Conv_0"]["bias"])[None],
+        pad_out(bl1["GroupNorm_0"]["scale"])[None],
+        pad_out(bl1["GroupNorm_0"]["bias"])[None],
     ]
     c_in = sum(c_chunks)
     if c_in != c_out:
         wres = p["Conv_0"]["kernel"]  # (c_in, c_out)
-        flat += [wres[offs[j] : offs[j + 1]] for j in range(len(c_chunks))]
-        flat += [p["Conv_0"]["bias"][None]]
+        flat += [
+            pad_out(pad_in(wres[offs[j] : offs[j + 1]], 0))
+            for j in range(len(c_chunks))
+        ]
+        flat += [pad_out(p["Conv_0"]["bias"])[None]]
     return tuple(flat)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("c_out", "interpret", "eps", "bf16"),
+    static_argnames=("c_out", "c_chunks", "interpret", "eps", "bf16",
+                     "real64"),
 )
 def resblock2d_wide(
     xs: Tuple[jnp.ndarray, ...],
@@ -741,9 +776,11 @@ def resblock2d_wide(
     temb: jnp.ndarray,
     params: Tuple[jnp.ndarray, ...],
     c_out: int,
+    c_chunks: Tuple[int, ...] = None,
     interpret: bool = False,
     eps: float = 1e-5,
     bf16: bool = True,
+    real64: bool = False,
 ) -> jnp.ndarray:
     """Fused ResnetBlock2d at full-lane channel widths.
 
@@ -755,9 +792,14 @@ def resblock2d_wide(
     n_in = len(xs)
     B, H, Tp, _ = xs[0].shape
     T = Tp - 2 * PAD
-    assert resblock2d_supported(T, H, n_in, c_out), (T, H, n_in, c_out)
-    identity_res = n_in == 1 and xs[0].shape[-1] == c_out
-    T_b = _pick_tile(T, H, n_in, c_out)
+    if c_chunks is None:
+        c_chunks = tuple(x.shape[-1] for x in xs)
+    assert resblock2d_supported(
+        T, H, n_in, 2 * C_HALF if real64 else c_out
+    ), (T, H, n_in, c_out)
+    lanes = 2 * C_HALF if real64 else c_out
+    identity_res = c_chunks == (c_out,)
+    T_b = _pick_tile(T, H, n_in, lanes)
     n_tiles = T // T_b
     L = T_b + 2 * PAD
 
@@ -773,24 +815,25 @@ def resblock2d_wide(
         eps=eps,
         bf16=bf16,
         wide=True,
-        lanes=c_out,
+        lanes=lanes,
+        real64=real64,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [any_spec] * n_in
     in_specs.append(
-        pl.BlockSpec((1, c_out), lambda b, ph, i, lens: (b, 0))
+        pl.BlockSpec((1, lanes), lambda b, ph, i, lens: (b, 0))
     )  # temb row
     in_specs += [vec_spec] * len(params)
 
     scratch = [
         pltpu.VMEM((H, L, x.shape[-1]), jnp.float32) for x in xs
     ]  # xss
-    scratch.append(pltpu.VMEM((H, T + 2 * PAD, c_out), jnp.float32))  # h1
-    scratch.append(pltpu.VMEM((H, T, c_out), jnp.float32))  # h2
-    scratch += [pltpu.VMEM((1, c_out), jnp.float32)] * 4  # stats
-    scratch.append(pltpu.VMEM((H, L, c_out), jnp.float32))  # out_scr
+    scratch.append(pltpu.VMEM((H, T + 2 * PAD, lanes), jnp.float32))  # h1
+    scratch.append(pltpu.VMEM((H, T, lanes), jnp.float32))  # h2
+    scratch += [pltpu.VMEM((1, lanes), jnp.float32)] * 4  # stats
+    scratch.append(pltpu.VMEM((H, L, lanes), jnp.float32))  # out_scr
     scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
 
     return pl.pallas_call(
@@ -802,7 +845,7 @@ def resblock2d_wide(
             out_specs=any_spec,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, T + 2 * PAD, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, T + 2 * PAD, lanes), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),

@@ -169,3 +169,56 @@ def test_resblock_wide_parity(c_out, c_chunks, B, H, T, lengths):
     np.testing.assert_allclose(
         np.asarray(got_b), np.asarray(ref), atol=6e-2, rtol=6e-2
     )
+
+
+@pytest.mark.parametrize(
+    "c_chunks,B,H,T,lengths",
+    [
+        ((128, 128), 1, 40, 128, [128]),  # up-path concat -> 64 channels
+        ((64,), 2, 40, 128, [128, 93]),   # identity body block
+    ],
+)
+def test_resblock_wide_real64_parity(c_chunks, B, H, T, lengths):
+    """c_out=64 carried in 128-lane buffers (upper half zero): the layout
+    the half-resolution C=64 blocks use so no parity packing or lane
+    slicing happens between kernels."""
+    from arttts_tpu.ops.resblock2d_pallas import (
+        pack_resblock_params_wide,
+        pad_wide,
+        resblock2d_wide,
+        unpad_wide,
+    )
+
+    c_in = sum(c_chunks)
+    rng = np.random.default_rng(c_in + H)
+    x, mask, temb = _inputs(rng, B, H, T, c_in, lengths)
+
+    mod = ResnetBlock2d(dim_out=64, masked_norm=True)
+    variables = mod.init(jax.random.PRNGKey(0), x, mask, temb)
+    ref = mod.apply(variables, x, mask, temb)
+
+    p = variables["params"]
+    params = pack_resblock_params_wide(p, c_chunks, 64, real64=True)
+    tv = jnp.tanh(jax.nn.softplus(temb)) * temb
+    tv = tv @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]  # (B, 64)
+    tv = jnp.pad(tv, ((0, 0), (0, 64)))  # padded lanes
+
+    offs = np.cumsum((0,) + c_chunks)
+    xs = []
+    for j in range(len(c_chunks)):
+        chunk = x[..., offs[j] : offs[j + 1]]
+        if chunk.shape[-1] == 64:  # real64 buffer: zero upper half
+            chunk = jnp.pad(chunk, ((0, 0),) * 3 + ((0, 64),))
+        xs.append(pad_wide(chunk))
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    out = resblock2d_wide(
+        tuple(xs), lens, tv, params, c_out=64, c_chunks=c_chunks,
+        interpret=True, bf16=False, real64=True,
+    )
+    got = unpad_wide(out)
+    # upper lanes must be exactly zero (downstream kernels rely on it)
+    np.testing.assert_array_equal(np.asarray(got[..., 64:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got[..., :64]), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
