@@ -32,6 +32,12 @@ import jax.numpy as jnp
 
 from arttts_tpu.models.convs import ConvTranspose2dTorch
 from arttts_tpu.models.unet2d import Downsample2d
+from arttts_tpu.ops.updown_pallas import (
+    conv_transpose2d_from_real64,
+    downsample2d_to_real64,
+    pack_convt_params,
+    pack_downsample_params,
+)
 from arttts_tpu.ops.resblock2d_pallas import (
     PAD,
     pack_block_params,
@@ -261,7 +267,6 @@ def score2d_fast(
     hp = _attn_packed(
         params["LinearAttention2d_0"], params["Rezero_0"]["g"], hp
     )
-    h = unpack_image(hp)  # (B, F, T, 64)
 
     m2 = mask_img[:, :, ::2, :]
     m3 = m2[:, :, ::2, :]
@@ -275,14 +280,25 @@ def score2d_fast(
             c_out=c_out, eps=eps, interpret=interpret,
         )
 
+    def rbw2_entry(x64, lens):
+        # ResnetBlock2d_2: 64 real channels arriving in a 128-lane buffer
+        return resblock2d_wide(
+            (x64,), lens, tvec_w(params["ResnetBlock2d_2"], 128),
+            pack_resblock_params_wide(
+                params["ResnetBlock2d_2"], (64,), 128, pad_in64=True
+            ),
+            c_out=128, c_chunks=(64,), eps=eps, interpret=interpret,
+        )
+
     def tvec_w(pk, c_out):
         return tmish @ pk["Dense_0"]["kernel"] + pk["Dense_0"]["bias"]
 
     # ---- levels 2/3 + mid + first up: wide fused kernels --------------
-    h = Downsample2d(64).apply(
-        {"params": params["Downsample2d_0"]}, h * mask_img
-    )  # (B, F/2, T/2, 64)
-    h = rbw("ResnetBlock2d_2", 128, (64,), (pad_wide(h),), lengths2)
+    h = downsample2d_to_real64(
+        hp, lengths, pack_downsample_params(params["Downsample2d_0"]),
+        interpret=interpret,
+    )  # (B, F/2, T/2+2*PAD, 128) real64
+    h = rbw2_entry(h, lengths2)
     h = rbw("ResnetBlock2d_3", 128, (128,), (h,), lengths2)
     h = _attn_wide(params["LinearAttention2d_1"], params["Rezero_1"]["g"], h)
     hid2 = h  # padded wide (B, F/2, T/2+2*PAD, 128)
@@ -326,14 +342,14 @@ def score2d_fast(
     hq = _attn_wide(
         params["LinearAttention2d_5"], params["Rezero_5"]["g"], hq
     )
-    h = unpad_wide(hq)[..., :64]  # (B, F/2, T/2, 64)
-    h = ConvTranspose2dTorch(64, 64, 4, 2, 1).apply(
-        {"params": params["ConvTranspose2dTorch_1"]}, h * m2
-    )  # -> (B, F, T, 64)
+    h = conv_transpose2d_from_real64(
+        hq, lengths, pack_convt_params(params["ConvTranspose2dTorch_1"]),
+        interpret=interpret,
+    )  # -> (B, F/2, T+2*PAD, 128) packed full-res
 
     # ---- final block + 1-channel projection, packed -------------------
     fp = kernel(
-        (pack_image(h * mask_img),), lengths,
+        (h,), lengths,
         jnp.zeros((B, 128), jnp.float32),
         pack_block_params(params["Block2d_0"]), 64, block_only=True,
     )

@@ -714,7 +714,8 @@ def unpad_wide(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_resblock_params_wide(
-    p: dict, c_chunks: Tuple[int, ...], c_out: int, real64: bool = False
+    p: dict, c_chunks: Tuple[int, ...], c_out: int, real64: bool = False,
+    pad_in64: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Flax `ResnetBlock2d` params -> flat tuple for `resblock2d_wide`.
     Conv/residual weights stay HWIO, split by input chunk.
@@ -732,7 +733,7 @@ def pack_resblock_params_wide(
 
     def pad_in(w, axis):
         # pad a 64-real input dim to the 128-lane buffer width
-        if not real64 or w.shape[axis] != C_HALF:
+        if not (real64 or pad_in64) or w.shape[axis] != C_HALF:
             return w
         pw = [(0, 0)] * w.ndim
         pw[axis] = (0, C_HALF)
