@@ -369,6 +369,17 @@ def _resblock_kernel(
         return ((fidx >= 0) & (fidx < length)).astype(jnp.float32)
 
     valid = val(lanes)
+
+    def val_interior(width):
+        # Interior-width (T_b) mask computed fresh: at lanes > 128 Mosaic
+        # aborts (`Check failed: limits[i] <= dim(i) (2 vs. 1)`, array.h:480)
+        # when the iota-derived (1, L, lanes) mask is sliced on the frame
+        # axis — static slice and dynamic_slice alike (repro'd r3 on the
+        # 2026-08 toolchain).  Recomputing at the target width compiles and
+        # is equivalent; interior frames start at t0 >= 0 so only the upper
+        # bound matters.
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (1, T_b, width), 1) + t0
+        return (fidx < length).astype(jnp.float32)
     # per-group valid elements: rows x group-width x valid frames
     if not wide:
         n_elem = n_pairs * 2 * 8  # parity pairs, groups of 8
@@ -473,7 +484,7 @@ def _resblock_kernel(
                 h2w, fold(s12[:]), fold(s22[:]),
                 count, g2s[:], g2b[:], eps,
             )
-            vi = valid[:, PAD : T_b + PAD, :]
+            vi = val_interior(lanes)
             y = _mish(y) * vi
             if identity_res:
                 res = xss[0][:, PAD : T_b + PAD, :] * vi
@@ -482,7 +493,7 @@ def _resblock_kernel(
                 res = None
                 for j in range(n_in):
                     cw = xss[j].shape[-1]
-                    vij = vi if cw == lanes else val(cw)[:, PAD : T_b + PAD, :]
+                    vij = vi if cw == lanes else val_interior(cw)
                     xi = xss[j][:, PAD : T_b + PAD, :] * vij
                     part = jax.lax.dot_general(
                         xi.astype(dt_), wres[j][:].astype(dt_),
