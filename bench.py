@@ -26,6 +26,7 @@ vs_baseline = target_rtf / measured_rtf (>1 is better than target).
 
 import json
 import os
+import sys
 import time
 import traceback
 
@@ -37,8 +38,14 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU (f32 convs multiply in bf16 on v5e)
 V5E_PEAK_HBM = 819e9  # bytes/s
 
 
-def differential_time(run, base_key, n_small=2, n_large=12, repeats=2):
-    """Per-iteration seconds via fetch-fenced differential timing."""
+def differential_time(run, base_key, n_small=2, n_large=12, repeats=5):
+    """Per-iteration seconds via fetch-fenced differential timing.
+
+    Each leg carries exactly one fetch round-trip (30-900 ms noisy through
+    the tunnel), so a single (t_large - t_small) can be off by ~1 s — an r3
+    session measured the same 109 ms program at 37 ms from a one-shot diff.
+    Alternate the legs and take the MEDIAN of the diffs: the fetch noise is
+    per-leg i.i.d., so the diff distribution is centered on the true value."""
 
     def timed(n):
         keys = [jax.random.fold_in(base_key, i) for i in range(n)]
@@ -51,9 +58,14 @@ def differential_time(run, base_key, n_small=2, n_large=12, repeats=2):
         return time.perf_counter() - t0, out
 
     timed(n_small)  # warm
-    t1, _ = min((timed(n_small) for _ in range(repeats)), key=lambda p: p[0])
-    t2, out = min((timed(n_large) for _ in range(repeats)), key=lambda p: p[0])
-    return (t2 - t1) / (n_large - n_small), out
+    diffs = []
+    out = None
+    for _ in range(repeats):
+        t1, _ = timed(n_small)
+        t2, out = timed(n_large)
+        diffs.append(t2 - t1)
+    diffs.sort()
+    return diffs[len(diffs) // 2] / (n_large - n_small), out
 
 
 def main():
@@ -68,6 +80,15 @@ def main():
 
     def over_budget() -> bool:
         return time.perf_counter() - t_bench_start > budget_s
+
+    def progress(msg: str) -> None:
+        # stderr timeline so a killed run shows where time went (the JSON
+        # contract owns stdout)
+        print(
+            f"[bench +{time.perf_counter() - t_bench_start:7.1f}s] {msg}",
+            file=sys.stderr,
+            flush=True,
+        )
     from arttts_tpu.core.config import get_preset
     from arttts_tpu.infer.sampler import (
         frame_bucket, predict_lengths, synthesize_to_wav,
@@ -112,6 +133,7 @@ def main():
     # fails to compile, fall back to the XLA vocoder path via the
     # ARTTTS_DISABLE_MRF_PALLAS kill switch so the headline always records.
     extras = {}
+    progress("init done; scenario 1 (headline) compile")
 
     def make_run(synth):
         def run(k):
@@ -160,6 +182,7 @@ def main():
         out = run(base_key)
         float(jnp.sum(out[0]))
         extras["vocoder_path"] = "xla_fallback_after_pallas_failure"
+    progress("scenario 1 compiled; timing")
     elapsed, out = differential_time(run, base_key)
     frames = int(np.asarray(out[1]).max())
     audio_seconds = frames * 256 / 22050.0
@@ -201,6 +224,9 @@ def main():
     # request takes; random weights predict short utterances, so this times
     # the small-bucket path + the extra encoder pass)
     try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("scenario 2 (serving)")
         w = predict_lengths(model, variables, x, x_lengths)
         pred = int(np.ceil(float(jnp.sum(jnp.ceil(w)))))
         bucket = frame_bucket(fix_len_compatibility(pred))
@@ -214,7 +240,7 @@ def main():
 
         out_s = run_serving(base_key)
         float(jnp.sum(out_s[0]))
-        elapsed_s, out_s = differential_time(run_serving, base_key, repeats=1)
+        elapsed_s, out_s = differential_time(run_serving, base_key, repeats=3)
         frames_s = max(int(np.asarray(out_s[1]).max()), 1)
         extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
         extras["serving_bucket"] = bucket
@@ -233,7 +259,7 @@ def main():
 
         out_sd = run_serving_dpm(base_key)
         float(jnp.sum(out_sd[0]))
-        elapsed_sd, out_sd = differential_time(run_serving_dpm, base_key, repeats=1)
+        elapsed_sd, out_sd = differential_time(run_serving_dpm, base_key, repeats=3)
         frames_sd = max(int(np.asarray(out_sd[1]).max()), 1)
         extras["serving_dpm_rtf"] = round(
             elapsed_sd / (frames_sd * 256 / 22050.0), 5
@@ -244,6 +270,9 @@ def main():
 
     # ---------------- scenario 3: batched serving (B=8) --------------------
     try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("scenario 3 (batched B=8)")
         B8 = 8
         x8 = jnp.tile(x, (B8, 1))
         xl8 = jnp.tile(x_lengths, (B8,))
@@ -257,7 +286,7 @@ def main():
 
         out8 = run_b8(base_key)
         float(jnp.sum(out8[0]))
-        elapsed8, out8 = differential_time(run_b8, base_key, n_large=6, repeats=1)
+        elapsed8, out8 = differential_time(run_b8, base_key, n_large=6, repeats=3)
         audio8 = B8 * frames * 256 / 22050.0
         extras["batched_rtf_per_utt"] = round(elapsed8 / audio8, 5)
         extras["batched_speedup"] = round(rtf / (elapsed8 / audio8), 2)
@@ -269,6 +298,9 @@ def main():
     # opt-in 2nd-order sampler: quality gated vs Euler@50 by
     # tests/test_heun_sampler.py::test_heun15_quality_gate_vs_euler50
     try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("scenario 4 (heun15)")
         def run_heun(k):
             return synth(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
@@ -278,7 +310,7 @@ def main():
 
         out_h = run_heun(base_key)
         float(jnp.sum(out_h[0]))
-        elapsed_h, _ = differential_time(run_heun, base_key, repeats=1)
+        elapsed_h, _ = differential_time(run_heun, base_key, repeats=3)
         extras["heun15_rtf"] = round(elapsed_h / audio_seconds, 5)
     except Exception as e:
         traceback.print_exc()
@@ -290,6 +322,9 @@ def main():
     # converged Euler@400 solution: dpm@10 0.078 vs euler@50 0.236 —
     # tests/test_dpm_sampler.py pins the gate)
     try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("scenario 5 (dpm10)")
         def run_dpm(k):
             return synth(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
@@ -299,7 +334,7 @@ def main():
 
         out_d = run_dpm(base_key)
         float(jnp.sum(out_d[0]))
-        elapsed_d, _ = differential_time(run_dpm, base_key, repeats=1)
+        elapsed_d, _ = differential_time(run_dpm, base_key, repeats=3)
         extras["dpm10_rtf"] = round(elapsed_d / audio_seconds, 5)
     except Exception as e:
         traceback.print_exc()
@@ -311,6 +346,7 @@ def main():
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
+        progress("scenario 6 (train step)")
         from arttts_tpu.train.step import create_train_state, make_train_step
 
         cfg1 = get_preset("v1")
@@ -342,7 +378,7 @@ def main():
 
         out_t = run_train(base_key)
         float(jnp.sum(out_t[0]))
-        elapsed_t, _ = differential_time(run_train, base_key, repeats=1)
+        elapsed_t, _ = differential_time(run_train, base_key, repeats=3)
         extras["train_step_ms_b16"] = round(elapsed_t * 1000.0, 2)
         extras["train_steps_per_s"] = round(1.0 / elapsed_t, 1)
     except Exception as e:
@@ -355,6 +391,7 @@ def main():
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
+        progress("scenario 7 (utmos)")
         from arttts_tpu.models.utmos import UTMOSPredictor
 
         um = UTMOSPredictor()
@@ -376,7 +413,7 @@ def main():
         out_u = run_utmos(base_key)
         float(jnp.sum(out_u[0]))
         elapsed_u, _ = differential_time(
-            run_utmos, base_key, n_small=1, n_large=5, repeats=1
+            run_utmos, base_key, n_small=1, n_large=5, repeats=3
         )
         extras["utmos_clips_per_s"] = round(Bu / elapsed_u, 1)
     except Exception as e:
@@ -389,6 +426,7 @@ def main():
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
+        progress("scenario 8 (ms articulatory)")
         from arttts_tpu.infer.sampler import synthesize
 
         cfg6 = get_preset("v6")
@@ -418,7 +456,7 @@ def main():
 
         out_m = run_ms(base_key)
         float(jnp.sum(out_m[0]))
-        elapsed_m, _ = differential_time(run_ms, base_key, repeats=1)
+        elapsed_m, _ = differential_time(run_ms, base_key, repeats=3)
         extras["ms_art_rtf"] = round(elapsed_m / (Ty6 / 50.0), 5)
     except Exception as e:
         traceback.print_exc()
@@ -430,6 +468,7 @@ def main():
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
+        progress("scenario 9 (mel featurize)")
         from arttts_tpu.audio.mel import MelSpectrogram
 
         mel = MelSpectrogram()
@@ -445,7 +484,7 @@ def main():
         out_mel = run_mel(base_key)
         float(jnp.sum(out_mel[0]))
         elapsed_mel, _ = differential_time(
-            run_mel, base_key, n_small=2, n_large=10, repeats=1
+            run_mel, base_key, n_small=2, n_large=10, repeats=3
         )
         extras["mel_featurize_x_rt"] = round(
             (Bm * Sm / 22050.0) / elapsed_mel, 0

@@ -62,8 +62,13 @@ def main():
     out = run(variables, z, mask, mu)
     print("compiled; warm value", float(jnp.sum(out)))
 
-    # timed (differential, fetch-fenced)
+    # timed (differential, fetch-fenced).  The fetch round-trip through
+    # the tunnel is 30-900 ms noisy and each leg carries exactly one, so
+    # a single (t_large - t_small) can be off by ~1 s: take the median of
+    # several alternating diffs instead (an r3 session measured the same
+    # program at 37 and 109 ms/50-step from one-shot diffs).
     def timed(n):
+        float(jnp.sum(run(variables, z, mask, mu)))  # fence queue
         t0 = time.perf_counter()
         o = None
         for _ in range(n):
@@ -72,8 +77,9 @@ def main():
         return time.perf_counter() - t0
 
     timed(2)
-    t1, t2 = timed(2), timed(10)
-    per_iter = (t2 - t1) / 8
+    n1, n2, reps = 2, 12, 5
+    diffs = sorted(timed(n2) - timed(n1) for _ in range(reps))
+    per_iter = diffs[reps // 2] / (n2 - n1)
     print(f"{args.steps}-step loop: {per_iter*1e3:.2f} ms "
           f"({per_iter/args.steps*1e3:.3f} ms/step)")
 
