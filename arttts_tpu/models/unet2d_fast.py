@@ -40,6 +40,8 @@ from arttts_tpu.ops.updown_pallas import (
 )
 from arttts_tpu.ops.resblock2d_pallas import (
     PAD,
+    pack_attn_params,
+    pack_attn_params_wide,
     pack_block_params,
     pack_image,
     pack_resblock_params,
@@ -90,15 +92,19 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def _bdot(a, b):
+def _bdot(a, b, out_dtype=jnp.float32):
     """Large attention contraction in bf16 with f32 accumulation — the
     same multiply precision XLA gives the model's convs on v5e; f32 dots
     here run at the slow 3-pass MXU rate and dominated the first fast-path
-    A/B (r3 trace)."""
+    A/B (r3 trace).
+
+    out_dtype=bf16 for values whose only consumers are further bf16 dots:
+    with an f32 output XLA materializes BOTH an f32 and a bf16 copy of the
+    buffer (serving trace: the full-res qkv fusion wrote 144 MB/step)."""
     return jnp.matmul(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(out_dtype)
 
 
 def _beinsum(spec, a, b):
@@ -123,17 +129,27 @@ def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
     hd = 128
     Wq, Wk, Wv = W[:, :hd], W[:, hd : 2 * hd], W[:, 2 * hd :]
     z = jnp.zeros((64, hd), jnp.float32)
-    Wbig = jnp.concatenate(
+    # split projections by consumer dtype: k feeds f32 softmax statistics,
+    # q/v feed bf16 contractions only — one combined f32 dot makes XLA
+    # materialize both an f32 AND a bf16 copy of the (B,P,Tp,768) buffer
+    Wk_big = jnp.concatenate(
         [
-            jnp.concatenate([Wq, z, Wk, z, Wv, z], axis=1),
-            jnp.concatenate([z, Wq, z, Wk, z, Wv], axis=1),
+            jnp.concatenate([Wk, z], axis=1),
+            jnp.concatenate([z, Wk], axis=1),
         ],
         axis=0,
-    )  # (128, 768): [q0 q1 k0 k1 v0 v1]
-    qkv = _bdot(xp, Wbig)
-    q = qkv[..., : 2 * hd]
-    k = qkv[..., 2 * hd : 4 * hd]
-    v = qkv[..., 4 * hd :]
+    )  # (128, 256): [k0 k1]
+    Wqv_big = jnp.concatenate(
+        [
+            jnp.concatenate([Wq, z, Wv, z], axis=1),
+            jnp.concatenate([z, Wq, z, Wv], axis=1),
+        ],
+        axis=0,
+    )  # (128, 512): [q0 q1 v0 v1]
+    k = _bdot(xp, Wk_big)
+    qv = _bdot(xp, Wqv_big, jnp.bfloat16)
+    q = qv[..., : 2 * hd]
+    v = qv[..., 2 * hd :]
 
     col = jnp.arange(Tp)
     bmask = ((col >= PAD) & (col < Tp - PAD)).astype(jnp.float32)[
@@ -148,7 +164,8 @@ def _attn_packed(p: dict, g: jnp.ndarray, xp: jnp.ndarray) -> jnp.ndarray:
     den = jnp.sum(ke, axis=(1, 2), keepdims=True)
     den = den[..., :hd] + den[..., hd:]
     den = jnp.concatenate([den, den], axis=-1)
-    kn = ke / den
+    # bf16 output: kn's only consumer is the bf16 ctx contraction
+    kn = (ke / den).astype(jnp.bfloat16)
 
     ctx = _beinsum("bptx,bpty->bxy", kn, v)
     ctx = ctx[:, :hd, :hd] + ctx[:, hd:, hd:]  # fold parity quadrants
@@ -178,10 +195,16 @@ def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     real_c = W.shape[0]
     if real_c < C:
         W = jnp.pad(W, ((0, C - real_c), (0, 0)))
-    qkv = _bdot(xw, W)
-    q = qkv[..., :hd]
-    k = qkv[..., hd : 2 * hd]
-    v = qkv[..., 2 * hd :]
+    # k feeds f32 softmax statistics; q/v feed bf16 contractions only
+    # (split avoids the double f32+bf16 materialization of one big dot)
+    k = _bdot(xw, W[:, hd : 2 * hd])
+    qv = _bdot(
+        xw,
+        jnp.concatenate([W[:, :hd], W[:, 2 * hd :]], axis=1),
+        jnp.bfloat16,
+    )
+    q = qv[..., :hd]
+    v = qv[..., hd:]
 
     col = jnp.arange(Tp)
     bmask = ((col >= PAD) & (col < Tp - PAD)).astype(jnp.float32)[
@@ -189,7 +212,8 @@ def _attn_wide(p: dict, g: jnp.ndarray, xw: jnp.ndarray) -> jnp.ndarray:
     ]
     m = jnp.max(k, axis=(1, 2), keepdims=True)
     ke = jnp.exp(k - m) * bmask
-    kn = ke / jnp.sum(ke, axis=(1, 2), keepdims=True)
+    # bf16 output: kn's only consumer is the bf16 ctx contraction
+    kn = (ke / jnp.sum(ke, axis=(1, 2), keepdims=True)).astype(jnp.bfloat16)
     ctx = _beinsum("bptx,bpty->bxy", kn, v)
     head = jnp.arange(hd) // 32
     ctx = jnp.where(head[:, None] == head[None, :], ctx, 0.0)
@@ -212,18 +236,41 @@ def score2d_fast(
     t: jnp.ndarray,
     spk_emb=None,
     interpret: bool = False,
+    fuse_attn: bool = True,
 ) -> jnp.ndarray:
     """Noise estimate on (B, T, n_feats) inputs; `params` is the
-    estimator's param dict (`variables["params"]["estimator"]`)."""
+    estimator's param dict (`variables["params"]["estimator"]`).
+
+    With `fuse_attn` the six Rezero(LinearAttention2d) sites run as two
+    extra grid phases INSIDE the preceding resblock kernel (the XLA
+    formulation cost ~520 us/step of bandwidth-bound fusions and
+    destabilized the layouts around the custom calls); the XLA
+    formulation stays for A/B via ARTTTS_UNET_FUSED_ATTN=0."""
     d = cfg.decoder
     B, T, F = xt.shape
     dim = d.dim
     eps = 1e-5 if d.masked_norm else 1e-6
 
-    def kernel(xs, lens, tv, prm, c_in, block_only=False):
+    def attn_p(k):
+        # fused-attention params for site k (packed layout)
+        if not fuse_attn:
+            return None
+        return pack_attn_params(
+            params[f"LinearAttention2d_{k}"], params[f"Rezero_{k}"]["g"]
+        )
+
+    def attn_w(k, real64=False):
+        if not fuse_attn:
+            return None
+        return pack_attn_params_wide(
+            params[f"LinearAttention2d_{k}"], params[f"Rezero_{k}"]["g"],
+            real64=real64,
+        )
+
+    def kernel(xs, lens, tv, prm, c_in, block_only=False, attn=None):
         return resblock2d_packed(
             xs, lens, tv, prm, c_in=c_in, block_only=block_only,
-            eps=eps, interpret=interpret,
+            eps=eps, interpret=interpret, attn_params=attn,
         )
 
     # ---- time embedding (unet2d.py:224-228; phases always f32) ---------
@@ -263,21 +310,23 @@ def score2d_fast(
     hp = kernel(
         (hp,), lengths, tvec(params["ResnetBlock2d_1"]),
         pack_resblock_params(params["ResnetBlock2d_1"], 64), 64,
+        attn=attn_p(0),
     )
-    hp = _attn_packed(
-        params["LinearAttention2d_0"], params["Rezero_0"]["g"], hp
-    )
+    if not fuse_attn:
+        hp = _attn_packed(
+            params["LinearAttention2d_0"], params["Rezero_0"]["g"], hp
+        )
 
     m2 = mask_img[:, :, ::2, :]
     m3 = m2[:, :, ::2, :]
     lengths2 = (lengths + 1) // 2
     lengths4 = (lengths2 + 1) // 2
 
-    def rbw(name, c_out, c_chunks, xs_w, lens):
+    def rbw(name, c_out, c_chunks, xs_w, lens, attn=None):
         return resblock2d_wide(
             xs_w, lens, tvec_w(params[name], c_out),
             pack_resblock_params_wide(params[name], c_chunks, c_out),
-            c_out=c_out, eps=eps, interpret=interpret,
+            c_out=c_out, eps=eps, interpret=interpret, attn_params=attn,
         )
 
     def rbw2_entry(x64, lens):
@@ -299,24 +348,36 @@ def score2d_fast(
         interpret=interpret,
     )  # (B, F/2, T/2+2*PAD, 128) real64
     h = rbw2_entry(h, lengths2)
-    h = rbw("ResnetBlock2d_3", 128, (128,), (h,), lengths2)
-    h = _attn_wide(params["LinearAttention2d_1"], params["Rezero_1"]["g"], h)
+    h = rbw("ResnetBlock2d_3", 128, (128,), (h,), lengths2, attn=attn_w(1))
+    if not fuse_attn:
+        h = _attn_wide(
+            params["LinearAttention2d_1"], params["Rezero_1"]["g"], h
+        )
     hid2 = h  # padded wide (B, F/2, T/2+2*PAD, 128)
     h = Downsample2d(128).apply(
         {"params": params["Downsample2d_1"]}, unpad_wide(h) * m2
     )  # (B, F/4, T/4, 128)
     h = rbw("ResnetBlock2d_4", 256, (128,), (pad_wide(h),), lengths4)
-    h = rbw("ResnetBlock2d_5", 256, (256,), (h,), lengths4)
-    h = _attn_wide(params["LinearAttention2d_2"], params["Rezero_2"]["g"], h)
+    h = rbw("ResnetBlock2d_5", 256, (256,), (h,), lengths4, attn=attn_w(2))
+    if not fuse_attn:
+        h = _attn_wide(
+            params["LinearAttention2d_2"], params["Rezero_2"]["g"], h
+        )
     hid3 = h
 
-    h = rbw("ResnetBlock2d_6", 256, (256,), (h,), lengths4)
-    h = _attn_wide(params["LinearAttention2d_3"], params["Rezero_3"]["g"], h)
+    h = rbw("ResnetBlock2d_6", 256, (256,), (h,), lengths4, attn=attn_w(3))
+    if not fuse_attn:
+        h = _attn_wide(
+            params["LinearAttention2d_3"], params["Rezero_3"]["g"], h
+        )
     h = rbw("ResnetBlock2d_7", 256, (256,), (h,), lengths4)
 
     h = rbw("ResnetBlock2d_8", 128, (256, 256), (h, hid3), lengths4)
-    h = rbw("ResnetBlock2d_9", 128, (128,), (h,), lengths4)
-    h = _attn_wide(params["LinearAttention2d_4"], params["Rezero_4"]["g"], h)
+    h = rbw("ResnetBlock2d_9", 128, (128,), (h,), lengths4, attn=attn_w(4))
+    if not fuse_attn:
+        h = _attn_wide(
+            params["LinearAttention2d_4"], params["Rezero_4"]["g"], h
+        )
     h = ConvTranspose2dTorch(128, 128, 4, 2, 1).apply(
         {"params": params["ConvTranspose2dTorch_0"]}, unpad_wide(h) * m3
     )  # -> (B, F/2, T/2, 128)
@@ -324,7 +385,7 @@ def score2d_fast(
     # ---- second up at half resolution: real64 wide kernels ------------
     # (64 output channels carried in 128-lane buffers, upper half zero:
     # no parity packing or lane slicing between kernels)
-    def rbw64(name, c_chunks, xs_w, lens):
+    def rbw64(name, c_chunks, xs_w, lens, attn=None):
         tv = jnp.pad(tvec_w(params[name], 64), ((0, 0), (0, 64)))
         return resblock2d_wide(
             xs_w, lens, tv,
@@ -332,16 +393,20 @@ def score2d_fast(
                 params[name], c_chunks, 64, real64=True
             ),
             c_out=64, c_chunks=c_chunks, eps=eps, interpret=interpret,
-            real64=True,
+            real64=True, attn_params=attn,
         )
 
     hq = rbw64(
         "ResnetBlock2d_10", (128, 128), (pad_wide(h), hid2), lengths2
     )
-    hq = rbw64("ResnetBlock2d_11", (64,), (hq,), lengths2)
-    hq = _attn_wide(
-        params["LinearAttention2d_5"], params["Rezero_5"]["g"], hq
+    hq = rbw64(
+        "ResnetBlock2d_11", (64,), (hq,), lengths2,
+        attn=attn_w(5, real64=True),
     )
+    if not fuse_attn:
+        hq = _attn_wide(
+            params["LinearAttention2d_5"], params["Rezero_5"]["g"], hq
+        )
     h = conv_transpose2d_from_real64(
         hq, lengths, pack_convt_params(params["ConvTranspose2dTorch_1"]),
         interpret=interpret,
@@ -381,13 +446,17 @@ def make_score_fn(model, variables, T: int, interpret: bool = False):
         )
 
     est_params = variables["params"]["estimator"]
+    fuse_attn = os.environ.get("ARTTTS_UNET_FUSED_ATTN", "1") not in (
+        "", "0"
+    )
 
     def score(xt, mask, mu, t, spk):
         emb = None
         if cfg.n_spks > 1:
             emb = model.apply(variables, spk, method="embed_speaker")
         return score2d_fast(
-            cfg, est_params, xt, mask, mu, t, emb, interpret=interpret
+            cfg, est_params, xt, mask, mu, t, emb, interpret=interpret,
+            fuse_attn=fuse_attn,
         )
 
     return score

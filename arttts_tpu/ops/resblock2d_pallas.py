@@ -301,6 +301,22 @@ def _fold_groups(v):
     )
 
 
+def _attn_k_max(yf, wk_list, bf16):
+    """Per-lane max of the k projection over a (rows, T_b, lanes) tile,
+    taken across all parity halves -> (1, 128)."""
+    dt_ = jnp.bfloat16 if bf16 else jnp.float32
+    mt = None
+    for wk in wk_list:
+        k = jax.lax.dot_general(
+            yf.astype(dt_), wk[:].astype(dt_),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(k, axis=(0, 1))[None]
+        mt = m if mt is None else jnp.maximum(mt, m)
+    return mt
+
+
 def _normalize(h, s1, s2, count, scale, bias, eps):
     """Apply GroupNorm given folded per-group sums (1, 128) broadcast to
     lanes and the valid-element count per group."""
@@ -329,6 +345,7 @@ def _resblock_kernel(
     wide: bool = False,
     lanes: int = LANES,
     real64: bool = False,
+    attn_n_par: int = 0,
 ):
     # ---- unpack refs (order mirrors the pallas_call operand list) -------
     pos = 0
@@ -344,6 +361,15 @@ def _resblock_kernel(
         if not identity_res:
             wres = list(refs[pos : pos + n_in]); pos += n_in
             bres = refs[pos]; pos += 1
+    wq_a = wk_a = wv_a = wp_a = bp_a = None
+    if attn_n_par:
+        # fused Rezero(LinearAttention2d): per-parity projection matrices
+        # (parity handled by separate half-dots — no lane slicing/rolls)
+        wq_a = list(refs[pos : pos + attn_n_par]); pos += attn_n_par
+        wk_a = list(refs[pos : pos + attn_n_par]); pos += attn_n_par
+        wv_a = list(refs[pos : pos + attn_n_par]); pos += attn_n_par
+        wp_a = list(refs[pos : pos + attn_n_par]); pos += attn_n_par
+        bp_a = refs[pos]; pos += 1
     out_hbm = refs[pos]; pos += 1
     xss = list(refs[pos : pos + n_in]); pos += n_in  # tile scratches
     h1_scr = refs[pos]; pos += 1        # (n_pairs, T + 2*PAD, 128)
@@ -352,6 +378,9 @@ def _resblock_kernel(
         h2_scr = refs[pos]; pos += 1        # (n_pairs, T, 128)
     s11, s21, s12, s22 = refs[pos : pos + 4]; pos += 4  # (1, 128) each
     out_scr = refs[pos]; pos += 1           # (n_pairs, L, 128)
+    m_scr = s_scr = ct_scr = None
+    if attn_n_par:
+        m_scr, s_scr, ct_scr = refs[pos : pos + 3]; pos += 3
     sems = list(refs[pos : pos + n_in]); pos += n_in
     sem_out = refs[pos]
 
@@ -505,9 +534,108 @@ def _resblock_kernel(
                 # module adds it unmasked (unet2d.py:119) and the next
                 # consumer masks its own input.
                 res = res + bres[:][None]
+            if not attn_n_par:
+                _emit(
+                    y + res, out_scr, out_hbm, sem_out, b, i, t0, T_b,
+                    n_tiles, n_pairs, lanes,
+                )
+            else:
+                # park the block output for the attention phases (h1 is
+                # dead after phase 1) and fold the softmax max pass in
+                # here while the tile is hot
+                yf = y + res
+                h1_scr[:, pl.ds(t0 + PAD, T_b), :] = yf
+                mt = _attn_k_max(yf, wk_a, bf16)
+
+                @pl.when(i == 0)
+                def _():
+                    m_scr[:] = mt
+
+                @pl.when(i != 0)
+                def _():
+                    m_scr[:] = jnp.maximum(m_scr[:], mt)
+
+    # ---------------- phases 3/4: fused Rezero(LinearAttention2d) -------
+    # Same math as models/unet2d_fast.py:_attn_packed/_attn_wide (module
+    # `LinearAttention2d`, unet2d.py:125-165): per-channel softmax of k
+    # over ALL frames (padded frames included, like the module), context
+    # ctx[x,y] = sum_t kn[t,x] v[t,y] block-diagonal over 4 heads of 32,
+    # out = q @ ctx, y += g*(out @ Wp + bp).  Parity halves (packed
+    # layout) contract separately and sum into the same context.  The
+    # denominator divides the context once (the XLA path normalizes ke
+    # first — identical in exact arithmetic).  g is folded into Wp/bp at
+    # pack time.  Max found in phase 2; S and the TRANSPOSED context
+    # accumulate in phase 3 (ct[y,x] needs only lane-broadcast division
+    # by S[x]); phase 4 finalizes ctx once and applies per tile.
+    if attn_n_par:
+
+        def _bdt(a, w_ref):
+            dt_ = jnp.bfloat16 if bf16 else jnp.float32
+            return jax.lax.dot_general(
+                a.astype(dt_), w_ref[:].astype(dt_),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(ph == 3)
+        def _():
+            yf = h1_scr[:, pl.ds(t0 + PAD, T_b), :]
+
+            @pl.when(i == 0)
+            def _():
+                s_scr[:] = jnp.zeros_like(s_scr)
+                ct_scr[:] = jnp.zeros_like(ct_scr)
+
+            m = m_scr[:]
+            s_tot = None
+            ct_tot = None
+            dt_ = jnp.bfloat16 if bf16 else jnp.float32
+            for par in range(attn_n_par):
+                k = _bdt(yf, wk_a[par])            # (rows, T_b, 128) f32
+                ke = jnp.exp(k - m[None])
+                v = _bdt(yf, wv_a[par]).astype(dt_)
+                sp = jnp.sum(ke, axis=(0, 1))[None]
+                # ct[y, x] = sum_rt v[r, t, y] * ke[r, t, x]; Mosaic's
+                # matmul takes ONE contracting dim -> flatten (rows, T_b)
+                # (contiguous: T_b is a multiple of the sublane tile)
+                ctp = jax.lax.dot_general(
+                    v.astype(dt_).reshape(-1, v.shape[-1]),
+                    ke.astype(dt_).reshape(-1, ke.shape[-1]),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s_tot = sp if s_tot is None else s_tot + sp
+                ct_tot = ctp if ct_tot is None else ct_tot + ctp
+            s_scr[:] += s_tot
+            ct_scr[:] += ct_tot
+
+        @pl.when(ph == 4)
+        def _():
+            HD = 128
+
+            @pl.when(i == 0)
+            def _():
+                head = jax.lax.broadcasted_iota(jnp.int32, (HD, HD), 0)
+                head_t = jax.lax.broadcasted_iota(jnp.int32, (HD, HD), 1)
+                hmask = (head // 32 == head_t // 32).astype(jnp.float32)
+                ctn_t = ct_scr[:] * hmask / s_scr[:]
+                ct_scr[:] = jnp.transpose(ctn_t)   # ctx[x, y], normalized
+
+            yf = h1_scr[:, pl.ds(t0 + PAD, T_b), :]
+            dt_ = jnp.bfloat16 if bf16 else jnp.float32
+            ctx = ct_scr[:].astype(dt_)
+            proj = None
+            for par in range(attn_n_par):
+                q = _bdt(yf, wq_a[par]).astype(dt_)
+                out = jax.lax.dot_general(
+                    q, ctx, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pp = _bdt(out, wp_a[par])
+                proj = pp if proj is None else proj + pp
             _emit(
-                y + res, out_scr, out_hbm, sem_out, b, i, t0, T_b, n_tiles,
-                n_pairs, lanes,
+                yf + proj + bp_a[:][None], out_scr, out_hbm, sem_out, b, i,
+                t0, T_b, n_tiles, n_pairs, lanes,
             )
 
 
@@ -597,6 +725,56 @@ def pack_resblock_params(p: dict, c_in: int) -> Tuple[jnp.ndarray, ...]:
     return tuple(flat)
 
 
+def pack_attn_params(p: dict, g) -> Tuple[jnp.ndarray, ...]:
+    """`LinearAttention2d` + Rezero params -> flat tuple for the fused
+    attention phases on the PACKED layout.  Projections split per parity
+    (lane half) so the kernel contracts halves with separate full-lane
+    dots; the Rezero gain folds into the output projection and bias."""
+    HD = 128
+    W = jnp.asarray(p["Conv_0"]["kernel"], jnp.float32)  # (64, 384)
+    g = jnp.asarray(g, jnp.float32).reshape(())
+    Wq, Wk, Wv = W[:, :HD], W[:, HD : 2 * HD], W[:, 2 * HD :]
+    Wp = jnp.asarray(p["Conv_1"]["kernel"], jnp.float32) * g  # (128, 64)
+    bp = jnp.asarray(p["Conv_1"]["bias"], jnp.float32) * g
+    z = jnp.zeros((C_HALF, HD), jnp.float32)
+    zp = jnp.zeros((HD, C_HALF), jnp.float32)
+
+    def par(w):
+        return [
+            jnp.concatenate([w, z], axis=0),
+            jnp.concatenate([z, w], axis=0),
+        ]
+
+    wp = [
+        jnp.concatenate([Wp, zp], axis=1),
+        jnp.concatenate([zp, Wp], axis=1),
+    ]
+    return tuple(
+        par(Wq) + par(Wk) + par(Wv) + wp
+        + [jnp.concatenate([bp, bp])[None]]
+    )
+
+
+def pack_attn_params_wide(
+    p: dict, g, real64: bool = False
+) -> Tuple[jnp.ndarray, ...]:
+    """`LinearAttention2d` + Rezero params -> flat tuple for the fused
+    attention phases on a WIDE layout (channels on lanes; real64 pads a
+    64-real buffer's projections to the 128-lane width with zeros)."""
+    HD = 128
+    W = jnp.asarray(p["Conv_0"]["kernel"], jnp.float32)  # (real_c, 384)
+    g = jnp.asarray(g, jnp.float32).reshape(())
+    Wp = jnp.asarray(p["Conv_1"]["kernel"], jnp.float32) * g
+    bp = jnp.asarray(p["Conv_1"]["bias"], jnp.float32) * g
+    if real64:
+        W = jnp.pad(W, ((0, 2 * C_HALF - W.shape[0]), (0, 0)))
+        Wp = jnp.pad(Wp, ((0, 0), (0, 2 * C_HALF - Wp.shape[1])))
+        bp = jnp.pad(bp, (0, 2 * C_HALF - bp.shape[0]))
+    return (
+        W[:, :HD], W[:, HD : 2 * HD], W[:, 2 * HD :], Wp, bp[None],
+    )
+
+
 def pack_block_params(p: dict) -> Tuple[jnp.ndarray, ...]:
     """Flax `Block2d` param dict -> flat tuple for `block_only=True`."""
     return (
@@ -634,6 +812,7 @@ def resblock2d_packed(
     interpret: bool = False,
     eps: float = 1e-5,
     bf16: bool = True,
+    attn_params: Optional[Tuple[jnp.ndarray, ...]] = None,
 ) -> jnp.ndarray:
     """Fused ResnetBlock2d on the packed padded layout.
 
@@ -655,7 +834,9 @@ def resblock2d_packed(
     T_b = _pick_tile(T, n_pairs, n_in)
     n_tiles = T // T_b
     L = T_b + 2 * PAD
-    n_phases = 2 if block_only else 3
+    attn_params = attn_params or ()
+    attn_n_par = (len(attn_params) - 1) // 4 if attn_params else 0
+    n_phases = 2 if block_only else (5 if attn_n_par else 3)
 
     kern = functools.partial(
         _resblock_kernel,
@@ -668,6 +849,7 @@ def resblock2d_packed(
         block_only=block_only,
         eps=eps,
         bf16=bf16,
+        attn_n_par=attn_n_par,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -677,7 +859,7 @@ def resblock2d_packed(
         # index_map gets the scalar-prefetch ref as a trailing arg
         pl.BlockSpec((1, LANES), lambda b, ph, i, lens: (b, 0))
     )  # temb row
-    in_specs += [vec_spec] * len(params)
+    in_specs += [vec_spec] * (len(params) + len(attn_params))
 
     tile_f32 = pltpu.VMEM((n_pairs, L, LANES), jnp.float32)
     scratch = [tile_f32] * n_in  # xss
@@ -688,6 +870,12 @@ def resblock2d_packed(
         scratch.append(pltpu.VMEM((n_pairs, T, LANES), jnp.float32))  # h2
     scratch += [pltpu.VMEM((1, LANES), jnp.float32)] * 4  # stats
     scratch.append(tile_f32)  # out_scr
+    if attn_n_par:
+        scratch += [
+            pltpu.VMEM((1, LANES), jnp.float32),      # m
+            pltpu.VMEM((1, LANES), jnp.float32),      # S
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # ct / ctx
+        ]
     scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
 
     return pl.pallas_call(
@@ -706,7 +894,7 @@ def resblock2d_packed(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), *xs, temb, *params)
+    )(lengths.astype(jnp.int32), *xs, temb, *params, *attn_params)
 
 
 # ---------------------------------------------------------------------------
@@ -793,6 +981,7 @@ def resblock2d_wide(
     eps: float = 1e-5,
     bf16: bool = True,
     real64: bool = False,
+    attn_params: Optional[Tuple[jnp.ndarray, ...]] = None,
 ) -> jnp.ndarray:
     """Fused ResnetBlock2d at full-lane channel widths.
 
@@ -814,6 +1003,9 @@ def resblock2d_wide(
     T_b = _pick_tile(T, H, n_in, lanes)
     n_tiles = T // T_b
     L = T_b + 2 * PAD
+    attn_params = attn_params or ()
+    attn_n_par = (len(attn_params) - 1) // 4 if attn_params else 0
+    n_phases = 5 if attn_n_par else 3
 
     kern = functools.partial(
         _resblock_kernel,
@@ -829,6 +1021,7 @@ def resblock2d_wide(
         wide=True,
         lanes=lanes,
         real64=real64,
+        attn_n_par=attn_n_par,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -837,7 +1030,7 @@ def resblock2d_wide(
     in_specs.append(
         pl.BlockSpec((1, lanes), lambda b, ph, i, lens: (b, 0))
     )  # temb row
-    in_specs += [vec_spec] * len(params)
+    in_specs += [vec_spec] * (len(params) + len(attn_params))
 
     scratch = [
         pltpu.VMEM((H, L, x.shape[-1]), jnp.float32) for x in xs
@@ -846,13 +1039,19 @@ def resblock2d_wide(
     scratch.append(pltpu.VMEM((H, T, lanes), jnp.float32))  # h2
     scratch += [pltpu.VMEM((1, lanes), jnp.float32)] * 4  # stats
     scratch.append(pltpu.VMEM((H, L, lanes), jnp.float32))  # out_scr
+    if attn_n_par:
+        scratch += [
+            pltpu.VMEM((1, LANES), jnp.float32),      # m
+            pltpu.VMEM((1, LANES), jnp.float32),      # S
+            pltpu.VMEM((LANES, LANES), jnp.float32),  # ct / ctx
+        ]
     scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
 
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, 3, n_tiles),
+            grid=(B, n_phases, n_tiles),
             in_specs=in_specs,
             out_specs=any_spec,
             scratch_shapes=scratch,
@@ -862,4 +1061,4 @@ def resblock2d_wide(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), *xs, temb, *params)
+    )(lengths.astype(jnp.int32), *xs, temb, *params, *attn_params)

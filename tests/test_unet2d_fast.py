@@ -40,6 +40,24 @@ def _estimator(cfg):
     )
 
 
+def _activate_attention(variables, rng):
+    """Rezero initializes g = 0, which silences every LinearAttention2d —
+    a parity test on raw init params never exercises the attention math
+    at all (a real latent gap: trained checkpoints have g != 0).  Set
+    small distinct gains per site; SMALL because the q@ctx path is
+    quadratic in activation magnitude and an untrained cascade of six
+    amplifying sites overflows f32."""
+    p = dict(variables["params"])
+    for k in range(6):
+        name = f"Rezero_{k}"
+        if name in p:
+            g = p[name]["g"]
+            val = (0.03 + 0.01 * k) * (-1.0 if k % 2 else 1.0)
+            p[name] = {"g": jnp.full_like(g, val)}
+    return {"params": p}
+
+
+@pytest.mark.parametrize("fuse_attn", [True, False])
 @pytest.mark.parametrize(
     "B,T,lengths,n_spks",
     [
@@ -48,7 +66,7 @@ def _estimator(cfg):
         (1, 256, [212], 2),  # spk plane (c_in = 3)
     ],
 )
-def test_score_fast_parity(B, T, lengths, n_spks):
+def test_score_fast_parity(B, T, lengths, n_spks, fuse_attn):
     cfg = _cfg(n_spks=n_spks)
     assert unet2d_fast_supported(cfg, T)
     est = _estimator(cfg)
@@ -68,10 +86,12 @@ def test_score_fast_parity(B, T, lengths, n_spks):
     )
 
     variables = est.init(jax.random.PRNGKey(0), xt, mask, mu, t, spk)
+    variables = _activate_attention(variables, rng)
     ref = est.apply(variables, xt, mask, mu, t, spk)
 
     got = score2d_fast(
-        cfg, variables["params"], xt, mask, mu, t, spk, interpret=True
+        cfg, variables["params"], xt, mask, mu, t, spk, interpret=True,
+        fuse_attn=fuse_attn,
     )
     # bf16 kernel dots vs the module's f32 CPU convs: bf16-band tolerance
     np.testing.assert_allclose(
