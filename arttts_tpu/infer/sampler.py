@@ -33,6 +33,7 @@ def reverse_diffusion(
     stoc: bool = False,
     spk=None,
     rng: Optional[jax.Array] = None,
+    sharded: bool = False,
 ):
     """Euler reverse-SDE/ODE sampler (diffusion.py:302-324).
 
@@ -41,7 +42,7 @@ def reverse_diffusion(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
-    score_fn = make_score_fn(model, variables, T=z.shape[1])
+    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
 
     def body(i, xt):
         t = (1.0 - (i + 0.5) * h) * jnp.ones((B,), z.dtype)
@@ -69,6 +70,7 @@ def reverse_diffusion_heun(
     mu,
     n_timesteps: int,
     spk=None,
+    sharded: bool = False,
 ):
     """Second-order (Heun) probability-flow ODE sampler — an opt-in
     beyond-reference fast path: reaches the Euler sampler's solution with
@@ -81,7 +83,7 @@ def reverse_diffusion_heun(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
-    score_fn = make_score_fn(model, variables, T=z.shape[1])
+    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
 
     def drift(xt, t_scalar):
         t = t_scalar * jnp.ones((B,), z.dtype)
@@ -108,6 +110,7 @@ def reverse_diffusion_dpm2m(
     n_timesteps: int,
     spk=None,
     t_end: float = 1e-2,
+    sharded: bool = False,
 ):
     """DPM-Solver++(2M) for the probability-flow ODE — a beyond-reference
     fast path: ONE score evaluation per step (multistep second order), so
@@ -168,7 +171,7 @@ def reverse_diffusion_dpm2m(
         z.dtype,
     )
 
-    score_fn = make_score_fn(model, variables, T=z.shape[1])
+    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
 
     def score_x0(y, t_scalar, sig, alp):
         t = t_scalar * jnp.ones((B,), z.dtype)
@@ -254,17 +257,21 @@ def synthesize(
         z = jax.lax.with_sharding_constraint(z, seq)
         mu_y = jax.lax.with_sharding_constraint(mu_y, seq)
         y_mask = jax.lax.with_sharding_constraint(y_mask, seq)
+    seq_sharded = mesh is not None and mesh.shape.get("model", 1) > 1
     if solver == "heun":
         dec_out = reverse_diffusion_heun(
-            model, variables, z, y_mask, mu_y, n_timesteps, spk
+            model, variables, z, y_mask, mu_y, n_timesteps, spk,
+            sharded=seq_sharded,
         )
     elif solver == "dpm":
         dec_out = reverse_diffusion_dpm2m(
-            model, variables, z, y_mask, mu_y, n_timesteps, spk
+            model, variables, z, y_mask, mu_y, n_timesteps, spk,
+            sharded=seq_sharded,
         )
     else:
         dec_out = reverse_diffusion(
-            model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk, rng_stoc
+            model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk,
+            rng_stoc, sharded=seq_sharded,
         )
     return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
 

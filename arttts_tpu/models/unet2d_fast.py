@@ -57,13 +57,12 @@ from arttts_tpu.ops.resblock2d_pallas import (
 
 
 def unet2d_fast_runtime_enabled() -> bool:
-    """OPT-IN while under development (ARTTTS_ENABLE_UNET_PALLAS=1): the
-    fused kernels beat XLA per-block (resblock 0.303 vs 0.587 ms on v5e)
-    but the first end-to-end wiring measured 0.73x — mixing kernel and
-    XLA domains degraded the remaining XLA convs (r3 trace notes in
-    CLAUDE.md).  The gate flips to default-on when the full loop wins on
-    hardware."""
-    if os.environ.get("ARTTTS_ENABLE_UNET_PALLAS", "0") in ("", "0"):
+    """Default ON for TPU backends (settled r3: full 50-step loop 96.35 ms
+    fast vs 109.38 ms XLA on v5e, B=1 80x768 — the all-or-nothing wiring
+    with fused boundary kernels wins; the earlier hybrid wiring measured
+    0.73x from layout poisoning, CLAUDE.md).  Kill switch:
+    ARTTTS_DISABLE_UNET_PALLAS=1 falls back to the module's XLA path."""
+    if os.environ.get("ARTTTS_DISABLE_UNET_PALLAS", "0") not in ("", "0"):
         return False
     return jax.default_backend() != "cpu"
 
@@ -431,13 +430,19 @@ def score2d_fast(
     return jnp.transpose(out, (0, 2, 1))  # (B, T, F)
 
 
-def make_score_fn(model, variables, T: int, interpret: bool = False):
+def make_score_fn(
+    model, variables, T: int, interpret: bool = False, sharded: bool = False
+):
     """Dispatch: the fused fast path when supported on this backend,
     otherwise the module's `estimate_noise`.  `model` is a GradTTSModel;
-    T is the (static) frame-bucket length."""
+    T is the (static) frame-bucket length.  `sharded=True` (the
+    sequence-parallel sampler: frame axis split over a mesh) forces the
+    module path — the fused kernels carry no GSPMD sequence-sharding
+    rules, so GSPMD would gather the full frame axis onto every device."""
     cfg = model.config
     use_fast = (
-        unet2d_fast_supported(cfg, T)
+        not sharded
+        and unet2d_fast_supported(cfg, T)
         and (interpret or unet2d_fast_runtime_enabled())
     )
     if not use_fast:
