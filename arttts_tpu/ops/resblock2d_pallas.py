@@ -205,7 +205,12 @@ def unpack_image(x: jnp.ndarray, C: int = C_HALF, padded: bool = True):
 
 
 def _mish(x):
-    # x * tanh(softplus(x)); softplus computed stably in f32
+    # x * tanh(softplus(x)); softplus computed stably in f32.
+    # NEGATIVE RESULT (r3, trace-verified): the rational form
+    # x * w/(w+2), w = u^2+2u, u = e^min(x,20) — one exp + one divide —
+    # measured SLOWER in-kernel (packed +1.2 ms/loop, wide +0.7) than
+    # this exp+log1p+tanh chain: the VPU divide costs more than the
+    # transcendental polynomial it saves.
     sp = jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
     return x * jnp.tanh(sp)
 
@@ -250,7 +255,15 @@ def _conv3x3_wide(x, w_ref, bf16: bool = True):
     x: (H, L, c_in) f32 with one zero/masked frame of halo each side on L
     and channels directly on lanes (c_in <= 256); w_ref: (3, 3, c_in, C)
     HWIO weights.  Plain 9-dot formulation for full-lane channel widths
-    (C in {128, 256}) where no parity packing is needed."""
+    (C in {128, 256}) where no parity packing is needed.
+
+    NEGATIVE RESULT (r3, trace-verified): a 3-dot restructuring (stack the
+    three dh taps on lanes, one (H*L, c_in) x (c_in, 3C) dot per frame tap,
+    combine lane slices of the OUTPUT with h-plane shifts) measured
+    identical in-kernel device time (51.78 vs 51.69 ms over 500 calls) and
+    a slightly worse full loop (97.6 vs 96.4 ms) — the wide kernels are
+    NOT bound by these dots or their operand materializations; the time is
+    in the rest of the grid program (GN phases / VPU / DMA)."""
     dt_ = jnp.bfloat16 if bf16 else jnp.float32
     zrow = jnp.zeros((1,) + x.shape[1:], x.dtype)
     acc = None
@@ -489,7 +502,9 @@ def _resblock_kernel(
                 h1w, fold(s11[:]), fold(s21[:]),
                 count, g1s[:], g1b[:], eps,
             )
-            hp = (_mish(hn) * valid + temb_ref[:][None]) * valid
+            # one mask multiply: (mish*v + temb)*v == (mish + temb)*v for
+            # the {0,1} mask
+            hp = (_mish(hn) + temb_ref[0, 0:1][None]) * valid
             h2 = (conv(hp, w2) + b2[:][None]) * valid
             interior = h2[:, PAD : T_b + PAD, :]
 
@@ -856,8 +871,10 @@ def resblock2d_packed(
     vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [any_spec] * n_in  # packed inputs
     in_specs.append(
-        # index_map gets the scalar-prefetch ref as a trailing arg
-        pl.BlockSpec((1, LANES), lambda b, ph, i, lens: (b, 0))
+        # temb rows ride in as (B, 8, lanes) sublane-tile blocks: a (1, L)
+        # block over a (B, L) array only lowers when B == 1 (Pallas requires
+        # sublane block dims divisible by 8 or equal to the array's)
+        pl.BlockSpec((1, 8, LANES), lambda b, ph, i, lens: (b, 0, 0))
     )  # temb row
     in_specs += [vec_spec] * (len(params) + len(attn_params))
 
@@ -894,7 +911,11 @@ def resblock2d_packed(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), *xs, temb, *params, *attn_params)
+    )(
+        lengths.astype(jnp.int32), *xs,
+        jnp.broadcast_to(temb[:, None, :], (B, 8, temb.shape[-1])),
+        *params, *attn_params,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1028,7 +1049,8 @@ def resblock2d_wide(
     vec_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [any_spec] * n_in
     in_specs.append(
-        pl.BlockSpec((1, lanes), lambda b, ph, i, lens: (b, 0))
+        # (B, 8, lanes) blocks: see the packed wrapper's note
+        pl.BlockSpec((1, 8, lanes), lambda b, ph, i, lens: (b, 0, 0))
     )  # temb row
     in_specs += [vec_spec] * (len(params) + len(attn_params))
 
@@ -1061,4 +1083,8 @@ def resblock2d_wide(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), *xs, temb, *params, *attn_params)
+    )(
+        lengths.astype(jnp.int32), *xs,
+        jnp.broadcast_to(temb[:, None, :], (B, 8, temb.shape[-1])),
+        *params, *attn_params,
+    )

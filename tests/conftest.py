@@ -19,6 +19,12 @@ import jax
 # start and pins jax_platforms; re-pin to CPU so the 8 virtual devices apply.
 jax.config.update("jax_platforms", "cpu")
 
+# No persistent compile cache in tests: CLI tests run setup_runtime(), and a
+# suite writing ~/.cache/arttts_tpu_xla while a TPU process compiles against
+# it segfaulted in the zstd cache serializer (r3, twice — crash stack:
+# compilation_cache.put_executable_and_time).  CPU test compiles are cheap.
+jax.config.update("jax_enable_compilation_cache", False)
+
 import numpy as np
 import pytest
 

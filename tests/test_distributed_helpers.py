@@ -15,10 +15,18 @@ def test_init_distributed_single_host():
 
 
 def test_setup_runtime(tmp_path):
+    import jax
+
     from arttts_tpu.core.runtime import setup_runtime
 
-    cache = tmp_path / "xla_cache"
-    setup_runtime(str(cache))
-    assert cache.exists()
-    # idempotent
-    setup_runtime(str(cache))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cache = tmp_path / "xla_cache"
+        setup_runtime(str(cache))
+        assert cache.exists()
+        # idempotent
+        setup_runtime(str(cache))
+    finally:
+        # restore: leaving the global cache dir pointing at a deleted
+        # tmp_path made later compiles segfault in the cache serializer
+        jax.config.update("jax_compilation_cache_dir", prev)
