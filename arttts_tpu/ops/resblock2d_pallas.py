@@ -33,6 +33,7 @@ live in `models/unet2d_fast.py` / CLAUDE.md.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -92,11 +93,25 @@ def _pick_tile(T: int, n_rows: int, n_in: int, lanes: int = LANES) -> int:
         T, n_rows, lanes
     )
     n_bufs = N_LIVE_BUFFERS + n_in
-    t = 64
-    while T % (t * 2) == 0 and n_bufs * _tile_bytes(
-        t * 2, n_rows, lanes
-    ) <= usable:
-        t *= 2
+    env = os.environ.get("ARTTTS_RB_TILE")
+    if env:
+        # experiment override (scripts/bench_wide.py); must still divide T
+        # with sublane-aligned offsets and respect the VMEM invariant
+        t = int(env)
+        assert T % t == 0 and t % 8 == 0, (T, t)
+    else:
+        # doubling from 64 while the budget holds.  SETTLED (r3, hardware
+        # sweep via ARTTTS_RB_TILE): this rule lands on ~3 grid steps per
+        # phase for the loop geometries, and BOTH directions lose —
+        # bigger tiles serialize DMA against compute (whole-T tiles:
+        # rb5@192 834 us vs 169 @64; full loop 148.6 ms vs 95.1), smaller
+        # tiles pay per-grid-step overhead (rb11@64 688 us vs 283 @128,
+        # rb5@32 190 vs 169).  Don't retune without new geometries.
+        t = 64
+        while T % (t * 2) == 0 and n_bufs * _tile_bytes(
+            t * 2, n_rows, lanes
+        ) <= usable:
+            t *= 2
     est = _scratch_bytes(T, n_rows, lanes) + n_bufs * _tile_bytes(
         t, n_rows, lanes
     )
