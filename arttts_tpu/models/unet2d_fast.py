@@ -61,10 +61,13 @@ def unet2d_fast_runtime_enabled() -> bool:
     fast vs 109.38 ms XLA on v5e, B=1 80x768 — the all-or-nothing wiring
     with fused boundary kernels wins; the earlier hybrid wiring measured
     0.73x from layout poisoning, CLAUDE.md).  Kill switch:
-    ARTTTS_DISABLE_UNET_PALLAS=1 falls back to the module's XLA path."""
+    ARTTTS_DISABLE_UNET_PALLAS=1 falls back to the module's XLA path.
+    The gate names TPU backends explicitly — the pltpu/Mosaic kernels
+    only compile for TPU, so a GPU backend must fall back rather than
+    crash at compile (ADVICE r3)."""
     if os.environ.get("ARTTTS_DISABLE_UNET_PALLAS", "0") not in ("", "0"):
         return False
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def unet2d_fast_supported(cfg, T: int) -> bool:
@@ -85,6 +88,29 @@ def unet2d_fast_supported(cfg, T: int) -> bool:
         and resblock2d_supported(T // 2, cfg.n_feats // 2, 2, 128)
         and resblock2d_supported(T // 4, cfg.n_feats // 4, 2, 256)
     )
+
+
+_warned_masked_norm = False
+
+
+def _warn_masked_norm_once() -> None:
+    """The fast path always computes masked GroupNorm statistics; with a
+    masked_norm=False config (the reference default) outputs match the
+    module only for unpadded batches — the B=1 serving protocol.  Padded
+    batches on such configs silently diverge from the module path, so say
+    it once (ADVICE r3)."""
+    global _warned_masked_norm
+    if not _warned_masked_norm:
+        _warned_masked_norm = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unet2d fast path with masked_norm=False config: GroupNorm "
+            "statistics are masked; outputs equal the module path only for "
+            "unpadded batches (B=1 serving). Set decoder.masked_norm=True "
+            "for padding-exact batched serving, or "
+            "ARTTTS_DISABLE_UNET_PALLAS=1 to force the module path."
+        )
 
 
 def _mish(x):
@@ -445,6 +471,8 @@ def make_score_fn(
         and unet2d_fast_supported(cfg, T)
         and (interpret or unet2d_fast_runtime_enabled())
     )
+    if use_fast and not cfg.decoder.masked_norm:
+        _warn_masked_norm_once()
     if not use_fast:
         return lambda xt, mask, mu, t, spk: model.apply(
             variables, xt, mask, mu, t, spk, method="estimate_noise"

@@ -94,23 +94,33 @@ def _pick_tile(T: int, n_rows: int, n_in: int, lanes: int = LANES) -> int:
     )
     n_bufs = N_LIVE_BUFFERS + n_in
     env = os.environ.get("ARTTTS_RB_TILE")
-    if env:
-        # experiment override (scripts/bench_wide.py); must still divide T
-        # with sublane-aligned offsets and respect the VMEM invariant
+    if env and T % int(env) == 0 and int(env) % 8 == 0:
+        # experiment override (scripts/bench_wide.py); must divide T with
+        # sublane-aligned offsets and respect the VMEM invariant.
+        # Geometries the override doesn't divide (the loop mixes T=384/192,
+        # tests 256/128) fall through to the doubling rule instead of
+        # asserting mid-sweep (ADVICE r3).
         t = int(env)
-        assert T % t == 0 and t % 8 == 0, (T, t)
     else:
-        # doubling from 64 while the budget holds.  SETTLED (r3, hardware
-        # sweep via ARTTTS_RB_TILE): this rule lands on ~3 grid steps per
-        # phase for the loop geometries, and BOTH directions lose —
-        # bigger tiles serialize DMA against compute (whole-T tiles:
-        # rb5@192 834 us vs 169 @64; full loop 148.6 ms vs 95.1), smaller
-        # tiles pay per-grid-step overhead (rb11@64 688 us vs 283 @128,
-        # rb5@32 190 vs 169).  Don't retune without new geometries.
+        # doubling from 64 while the budget holds AND at least 3 grid
+        # steps per phase remain.  SETTLED (r3+r4, hardware sweeps via
+        # ARTTTS_RB_TILE): ~3 grid steps per phase is the optimum for the
+        # loop geometries and BOTH directions lose — bigger tiles
+        # serialize DMA against compute (whole-T tiles: rb5@192 834 us vs
+        # 169 @64; full loop 148.6 ms vs 95.1; and r4: the serving
+        # geometry T=256/128/64 under the budget-only rule went whole-T
+        # and cost 33.65 ms/50-step vs 27.28 with the 3-step floor),
+        # smaller tiles pay per-grid-step overhead (rb11@64 688 us vs 283
+        # @128, rb5@32 190 vs 169).  At T=768 the VMEM budget already
+        # stops the doubling at 128 (6 steps); the 3-step floor only
+        # binds at short serving buckets.  Don't retune without new
+        # geometries.
         t = 64
-        while T % (t * 2) == 0 and n_bufs * _tile_bytes(
-            t * 2, n_rows, lanes
-        ) <= usable:
+        while (
+            T % (t * 2) == 0
+            and T // (t * 2) >= 3
+            and n_bufs * _tile_bytes(t * 2, n_rows, lanes) <= usable
+        ):
             t *= 2
     est = _scratch_bytes(T, n_rows, lanes) + n_bufs * _tile_bytes(
         t, n_rows, lanes
@@ -378,7 +388,7 @@ def _resblock_kernel(
     # ---- unpack refs (order mirrors the pallas_call operand list) -------
     pos = 0
     x_hbms = list(refs[pos : pos + n_in]); pos += n_in
-    temb_ref = refs[pos]; pos += 1          # (1, 128) VMEM (this batch row)
+    temb_ref = refs[pos]; pos += 1  # (1, 8, lanes) VMEM (batch row, sublane-broadcast)
     w1s = list(refs[pos : pos + n_in]); pos += n_in   # (3, 2, 128, 128) each
     b1, g1s, g1b = refs[pos : pos + 3]; pos += 3      # (1, 128) each
     if not block_only:
