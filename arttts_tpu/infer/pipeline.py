@@ -161,33 +161,56 @@ def run_acoustic_inference(
         # static bucket from predicted/aligned length keeps jit caches small
         if durations is not None:
             pred_frames = int(np.ceil(np.asarray(durations).sum()))
+            max_frames = frame_bucket(
+                min(fix_len_compatibility(pred_frames), max_frames_cap)
+            )
+            enc, dec, attn, y_len = synthesize(
+                model,
+                variables,
+                key,
+                jnp.asarray(x),
+                x_lengths,
+                n_timesteps=n_timesteps,
+                max_frames=int(max_frames),
+                temperature=temperature,
+                length_scale=length_scale,
+                spk=spk,
+                x_durations=durations,
+                solver=solver,
+            )
         else:
-            # run the cheap duration-only encoder pass to size the bucket
-            # precisely (one encode vs 50 diffusion steps) — a fixed
+            # two-dispatch serving path: ONE encoder pass sizes the bucket
+            # AND feeds the decoder (sampler.py:encode_text) — a fixed
             # 16*T_x bound can overshoot into a 2x-too-large bucket and
             # silently double decoder cost
-            pf = predict_frames(
+            from arttts_tpu.infer.sampler import (
+                encode_text, synthesize_from_encoding,
+            )
+
+            mu_x, logw, x_mask, pf = encode_text(
                 model, variables, jnp.asarray(x), x_lengths, spk
             )
             pred_frames = min(
                 max_frames_cap,
                 max(64, int(np.ceil(float(np.asarray(pf)[0]) * length_scale - 1e-6))),
             )
-        max_frames = frame_bucket(min(fix_len_compatibility(pred_frames), max_frames_cap))
-        enc, dec, attn, y_len = synthesize(
-            model,
-            variables,
-            key,
-            jnp.asarray(x),
-            x_lengths,
-            n_timesteps=n_timesteps,
-            max_frames=int(max_frames),
-            temperature=temperature,
-            length_scale=length_scale,
-            spk=spk,
-            x_durations=durations,
-            solver=solver,
-        )
+            max_frames = frame_bucket(
+                min(fix_len_compatibility(pred_frames), max_frames_cap)
+            )
+            enc, dec, attn, y_len = synthesize_from_encoding(
+                model,
+                variables,
+                key,
+                mu_x,
+                logw,
+                x_mask,
+                n_timesteps=n_timesteps,
+                max_frames=int(max_frames),
+                temperature=temperature,
+                length_scale=length_scale,
+                spk=spk,
+                solver=solver,
+            )
         L = int(np.asarray(y_len)[0])
         enc_np = np.asarray(enc)[0, :L]  # (L, n_feats)
         dec_np = np.asarray(dec)[0, :L]

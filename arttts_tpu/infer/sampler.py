@@ -192,18 +192,36 @@ def reverse_diffusion_dpm2m(
     return (mu + x0_final) * mask
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def encode_text(model, variables, x, x_lengths, spk=None):
+    """One encoder pass for the two-dispatch serving path: returns
+    (mu_x, logw, x_mask, pred_frames) where `pred_frames` (B,) is the
+    total predicted frame count (sum of ceil durations) used host-side to
+    pick the decoder bucket. The encodings then feed
+    `synthesize_from_encoding` directly, so a real request runs the
+    encoder ONCE (the r3 serving path ran it twice: once in
+    `predict_lengths` for the bucket, again inside `synthesize`)."""
+    mu_x, logw, x_mask = model.apply(
+        variables, x, x_lengths, spk, method="encode"
+    )
+    w = jnp.exp(logw) * x_mask
+    pred_frames = jnp.sum(jnp.ceil(w), axis=(1, 2))
+    return mu_x, logw, x_mask, pred_frames
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh"
     ),
 )
-def synthesize(
+def synthesize_from_encoding(
     model,
     variables,
     rng,
-    x,
-    x_lengths,
+    mu_x,
+    logw,
+    x_mask,
     n_timesteps: int,
     max_frames: int,
     temperature: float = 1.0,
@@ -214,26 +232,12 @@ def synthesize(
     solver: str = "euler",
     mesh=None,
 ):
-    """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
-
-    Mirrors tts.py:84-165 with static `max_frames`:
-    encoder -> durations (or provided `x_durations`) -> path -> mu_y ->
-    z ~ N(mu_y, I/temperature) -> reverse diffusion. Outputs are
-    (B, max_frames, n_feats) with `y_lengths` marking valid frames.
-
-    With `mesh` (a Mesh carrying a "model" axis), the diffusion loop runs
-    sequence-parallel: the (B, T, C) state shards on T over "model"
-    (SURVEY §5.7 long-context reservation, now real). GSPMD spatially
-    partitions the U-Net convs (halo exchange over ICI) and inserts the
-    gathers the full-T attention contractions need — same math, per-chip
-    compute ~1/n_model for B=1 long utterances. `max_frames` must divide
-    by the axis size (frame buckets are multiples of 128, so any 2^k axis
-    does). The reference has no multi-device inference at all.
-    """
+    """Diffusion decode from precomputed encoder outputs (`encode_text`):
+    durations -> path -> mu_y -> z ~ N(mu_y, I/temperature) -> reverse
+    diffusion. Returns (enc, dec, attn, y_lengths) exactly like
+    `synthesize` — which is this function composed with the encoder in a
+    single program."""
     rng_z, rng_stoc = jax.random.split(rng)
-    mu_x, logw, x_mask = model.apply(
-        variables, x, x_lengths, spk, method="encode"
-    )
     if x_durations is not None:
         w = x_durations[:, :, None] * x_mask  # (B, T_x, 1)
     else:
@@ -279,6 +283,66 @@ def synthesize(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh"
+    ),
+)
+def synthesize(
+    model,
+    variables,
+    rng,
+    x,
+    x_lengths,
+    n_timesteps: int,
+    max_frames: int,
+    temperature: float = 1.0,
+    stoc: bool = False,
+    spk=None,
+    length_scale: float = 1.0,
+    x_durations: Optional[jnp.ndarray] = None,
+    solver: str = "euler",
+    mesh=None,
+):
+    """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
+
+    Mirrors tts.py:84-165 with static `max_frames`:
+    encoder -> durations (or provided `x_durations`) -> path -> mu_y ->
+    z ~ N(mu_y, I/temperature) -> reverse diffusion. Outputs are
+    (B, max_frames, n_feats) with `y_lengths` marking valid frames.
+
+    With `mesh` (a Mesh carrying a "model" axis), the diffusion loop runs
+    sequence-parallel: the (B, T, C) state shards on T over "model"
+    (SURVEY §5.7 long-context reservation, now real). GSPMD spatially
+    partitions the U-Net convs (halo exchange over ICI) and inserts the
+    gathers the full-T attention contractions need — same math, per-chip
+    compute ~1/n_model for B=1 long utterances. `max_frames` must divide
+    by the axis size (frame buckets are multiples of 128, so any 2^k axis
+    does). The reference has no multi-device inference at all.
+    """
+    mu_x, logw, x_mask = model.apply(
+        variables, x, x_lengths, spk, method="encode"
+    )
+    return synthesize_from_encoding(
+        model,
+        variables,
+        rng,
+        mu_x,
+        logw,
+        x_mask,
+        n_timesteps=n_timesteps,
+        max_frames=max_frames,
+        temperature=temperature,
+        stoc=stoc,
+        spk=spk,
+        length_scale=length_scale,
+        x_durations=x_durations,
+        solver=solver,
+        mesh=mesh,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver"
     ),
 )
@@ -315,6 +379,10 @@ def synthesize_to_wav(
         x_durations=x_durations,
         solver=solver,
     )
+    return _vocode(vocoder, vocoder_variables, dec), y_lengths
+
+
+def _vocode(vocoder, vocoder_variables, dec):
     from arttts_tpu.models.hifigan import HiFiGANGenerator, hifigan_forward_fast
     from arttts_tpu.ops.mrf_pallas import mrf_runtime_enabled
 
@@ -324,10 +392,85 @@ def synthesize_to_wav(
     # interpret mode there and output parity is pinned separately.
     # ARTTTS_DISABLE_MRF_PALLAS=1 forces the XLA path (bench fallback).
     if isinstance(vocoder, HiFiGANGenerator) and mrf_runtime_enabled():
-        wav = hifigan_forward_fast(vocoder, vocoder_variables, dec)
-    else:
-        wav = vocoder.apply(vocoder_variables, dec)
-    return wav, y_lengths
+        return hifigan_forward_fast(vocoder, vocoder_variables, dec)
+    return vocoder.apply(vocoder_variables, dec)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver"
+    ),
+)
+def synthesize_to_wav_from_encoding(
+    model,
+    variables,
+    vocoder,
+    vocoder_variables,
+    rng,
+    mu_x,
+    logw,
+    x_mask,
+    n_timesteps: int,
+    max_frames: int,
+    temperature: float = 1.0,
+    stoc: bool = False,
+    spk=None,
+    x_durations=None,
+    solver: str = "euler",
+):
+    """Decode + vocode from precomputed encoder outputs, in one jitted
+    program. With `encode_text` this is the two-dispatch serving path: a
+    request runs encode (one dispatch), picks a static frame bucket from
+    the returned predicted length host-side, then runs this program —
+    the encoder is evaluated once per request instead of twice."""
+    enc, dec, attn, y_lengths = synthesize_from_encoding(
+        model,
+        variables,
+        rng,
+        mu_x,
+        logw,
+        x_mask,
+        n_timesteps=n_timesteps,
+        max_frames=max_frames,
+        temperature=temperature,
+        stoc=stoc,
+        spk=spk,
+        x_durations=x_durations,
+        solver=solver,
+    )
+    return _vocode(vocoder, vocoder_variables, dec), y_lengths
+
+
+def serve_text_to_wav(
+    model,
+    variables,
+    vocoder,
+    vocoder_variables,
+    rng,
+    x,
+    x_lengths,
+    n_timesteps: int = 50,
+    temperature: float = 1.0,
+    spk=None,
+    solver: str = "euler",
+    max_frames_cap: int = 2048,
+):
+    """The real request path (ref `arttts_inference.py:317-348` chained into
+    vocoding): encode once, pick the smallest static bucket holding the
+    predicted duration, decode + vocode. Two device dispatches + one scalar
+    fetch per request. Returns (wav, y_lengths, bucket)."""
+    mu_x, logw, x_mask, pred = encode_text(model, variables, x, x_lengths, spk)
+    pred_frames = int(np.ceil(float(jnp.max(pred))))
+    bucket = frame_bucket(
+        min(fix_len_compatibility(max(pred_frames, 4)), max_frames_cap)
+    )
+    wav, y_lengths = synthesize_to_wav_from_encoding(
+        model, variables, vocoder, vocoder_variables, rng, mu_x, logw, x_mask,
+        n_timesteps=n_timesteps, max_frames=bucket, temperature=temperature,
+        spk=spk, solver=solver,
+    )
+    return wav, y_lengths, bucket
 
 
 @functools.partial(jax.jit, static_argnames=("model",))

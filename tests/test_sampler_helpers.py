@@ -76,6 +76,58 @@ def test_synthesize_to_wav_single_program(rng):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def test_serving_split_matches_fused(rng):
+    """encode_text + synthesize_from_encoding == synthesize (same rng), and
+    serve_text_to_wav runs the two-dispatch request path end to end."""
+    from arttts_tpu.infer.sampler import (
+        encode_text,
+        serve_text_to_wav,
+        synthesize_from_encoding,
+    )
+    from arttts_tpu.models.hifigan import HiFiGANGenerator
+
+    cfg = tiny_config(kind="text", n_feats=80)
+    model = GradTTSModel(config=cfg)
+    x, x_lengths, y, _ = make_batch(rng, cfg, T_y=24)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        x, x_lengths, y, jnp.ones((y.shape[0], y.shape[1], 1)), jnp.zeros((2,)),
+    )
+    mu_x, logw, x_mask, pred = encode_text(model, variables, x, x_lengths)
+    # pred_frames == sum of ceil(exp(logw)) inside the mask
+    w = np.exp(np.asarray(logw)) * np.asarray(x_mask)
+    np.testing.assert_allclose(
+        np.asarray(pred), np.ceil(w).sum(axis=(1, 2)), rtol=1e-6
+    )
+    enc_a, dec_a, attn_a, ylen_a = synthesize_from_encoding(
+        model, variables, key, mu_x, logw, x_mask, n_timesteps=2, max_frames=32
+    )
+    enc_b, dec_b, attn_b, ylen_b = synthesize(
+        model, variables, key, x, x_lengths, n_timesteps=2, max_frames=32
+    )
+    np.testing.assert_array_equal(np.asarray(ylen_a), np.asarray(ylen_b))
+    np.testing.assert_allclose(
+        np.asarray(dec_a), np.asarray(dec_b), atol=1e-5
+    )
+
+    voc = HiFiGANGenerator(
+        upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((2, 32, 80)))
+    wav, y_len, bucket = serve_text_to_wav(
+        model, variables, voc, voc_vars, key, x, x_lengths, n_timesteps=2
+    )
+    assert bucket in (128, 256, 384, 512, 768, 1024) or bucket % 4 == 0
+    assert wav.shape == (2, bucket * 256, 1)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert int(np.asarray(y_len).max()) <= bucket
+
+
 def test_stochastic_sampler_path(rng):
     """stoc=True adds per-step noise; runs and differs from the ODE path."""
     from arttts_tpu.infer.sampler import reverse_diffusion
