@@ -14,6 +14,12 @@ converged Euler@400 solution of the same probability-flow ODE:
 
 So the dpm fast path is gated directly against a converged reference, not
 against Euler@50.
+
+CAVEAT (r4): these numbers are a RANDOM-weight model and do not transfer to
+trained score fields — on the trained fixture dpm@10 measures 0.2498 vs
+euler@50's 0.1230 (it loses), and the gated operating point moves to dpm@15
+(0.0852). tests/test_solver_gates_trained.py pins the trained-field gates;
+this file keeps the random-weight convergence-order checks only.
 """
 
 import jax
