@@ -90,9 +90,7 @@ def main():
             flush=True,
         )
     from arttts_tpu.core.config import get_preset
-    from arttts_tpu.infer.sampler import (
-        frame_bucket, predict_lengths, synthesize_to_wav,
-    )
+    from arttts_tpu.infer.sampler import frame_bucket, synthesize_to_wav
     from arttts_tpu.models.hifigan import HiFiGANGenerator
     from arttts_tpu.models.tts import GradTTSModel
     from arttts_tpu.ops.shape import fix_len_compatibility
@@ -219,22 +217,97 @@ def main():
     except Exception:
         pass  # cost_analysis is advisory; never fail the bench on it
 
+    # ---------------- whole-program MFU (r4: replaces mfu_xla_ops as the
+    # headline accounting; mfu_xla_ops stays as the XLA-only decomposition).
+    # (1) device-busy time per iteration comes from a profiler trace — the
+    # profiler times every op that executes, Pallas custom calls included
+    # (utils/trace_analysis.py). (2) model FLOPs come from XLA's cost
+    # analysis of the SAME math lowered through the module path (kill
+    # switches force a Pallas-free trace); the optimized-program flop count
+    # is the analytic model cost since inference has no remat. mfu_total =
+    # model FLOPs / wall per-iter; mfu_device uses device-busy time only.
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("whole-program MFU (trace + module-path flops)")
+        import tempfile
+
+        from arttts_tpu.utils.trace_analysis import device_busy_seconds
+
+        trace_dir = tempfile.mkdtemp(prefix="arttts_bench_trace_")
+        n_tr = 3
+        float(jnp.sum(run(base_key)[0]))  # fence the queue before tracing
+        jax.profiler.start_trace(trace_dir)
+        o_tr = None
+        for i in range(n_tr):
+            o_tr = run(jax.random.fold_in(base_key, 10_000 + i))
+        float(jnp.sum(o_tr[0]))
+        jax.profiler.stop_trace()
+        busy_per_iter = device_busy_seconds(trace_dir) / n_tr
+        extras["device_busy_ms"] = round(busy_per_iter * 1e3, 2)
+        extras["device_busy_frac"] = round(busy_per_iter / elapsed, 3)
+
+        env_keys = ("ARTTTS_DISABLE_UNET_PALLAS", "ARTTTS_DISABLE_MRF_PALLAS")
+        saved_env = {k: os.environ.get(k) for k in env_keys}
+        try:
+            for k in env_keys:
+                os.environ[k] = "1"
+            xla_path = jax.jit(
+                synthesize_to_wav.__wrapped__,
+                static_argnames=(
+                    "model", "vocoder", "n_timesteps", "max_frames", "stoc",
+                    "solver",
+                ),
+            )
+            cost2 = xla_path.lower(
+                model, variables, vocoder, voc_vars, base_key, x, x_lengths,
+                n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
+                x_durations=durations,
+            ).compile().cost_analysis()
+            if isinstance(cost2, list):
+                cost2 = cost2[0]
+            model_flops = float(cost2.get("flops", 0.0))
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        if model_flops > 0 and busy_per_iter > 0:
+            extras["model_tflop_per_utt"] = round(model_flops / 1e12, 3)
+            extras["mfu_total"] = round(
+                model_flops / elapsed / V5E_PEAK_FLOPS, 4
+            )
+            extras["mfu_device"] = round(
+                model_flops / busy_per_iter / V5E_PEAK_FLOPS, 4
+            )
+    except Exception as e:
+        traceback.print_exc()
+        extras["mfu_total_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # ---------------- scenario 2: predicted-duration serving path ----------
-    # duration prediction -> static bucket -> synthesis (the path a real
-    # request takes; random weights predict short utterances, so this times
-    # the small-bucket path + the extra encoder pass)
+    # the REAL request path (sampler.py:serve_text_to_wav): ONE encoder
+    # dispatch returns encodings + predicted length, the bucket is picked
+    # host-side, then one decode+vocode dispatch consumes the encodings.
+    # The bucket pick is precomputed outside the timing loop (per-sentence
+    # constant); each timed iteration runs both dispatches, so the encoder
+    # cost is counted exactly once per request (r3 counted it twice).
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
         progress("scenario 2 (serving)")
-        w = predict_lengths(model, variables, x, x_lengths)
-        pred = int(np.ceil(float(jnp.sum(jnp.ceil(w)))))
+        from arttts_tpu.infer.sampler import (
+            encode_text, synthesize_to_wav_from_encoding,
+        )
+
+        _, _, _, pred0 = encode_text(model, variables, x, x_lengths)
+        pred = int(np.ceil(float(jnp.max(pred0))))
         bucket = frame_bucket(fix_len_compatibility(pred))
 
         def run_serving(k):
-            predict_lengths(model, variables, x, x_lengths)  # real path re-runs it
-            return synth(
-                model, variables, vocoder, voc_vars, k, x, x_lengths,
+            mu_x, logw, x_mask, _ = encode_text(model, variables, x, x_lengths)
+            return synthesize_to_wav_from_encoding(
+                model, variables, vocoder, voc_vars, k, mu_x, logw, x_mask,
                 n_timesteps=N_STEPS, max_frames=bucket,
             )
 
@@ -247,21 +320,24 @@ def main():
         extras["serving_frames"] = frames_s
 
         # same real-request path on the quality-gated DPM-Solver++(2M)
-        # fast path (10 evals match Euler@50 fidelity): short utterances
-        # are step-overhead-dominated, so this is where the fast solver
-        # matters most for request latency.
+        # fast path. The gated operating point is 15 evals (r4,
+        # tests/test_solver_gates_trained.py: on a TRAINED score field
+        # dpm@15 beats Euler@50's distance-to-converged 0.085 vs 0.123;
+        # dpm@10 — the r3 headline — LOSES on trained weights, 0.25).
+        # Short utterances are step-overhead-dominated, so this is where
+        # the fast solver matters most for request latency.
         def run_serving_dpm(k):
-            predict_lengths(model, variables, x, x_lengths)
-            return synth(
-                model, variables, vocoder, voc_vars, k, x, x_lengths,
-                n_timesteps=10, max_frames=bucket, solver="dpm",
+            mu_x, logw, x_mask, _ = encode_text(model, variables, x, x_lengths)
+            return synthesize_to_wav_from_encoding(
+                model, variables, vocoder, voc_vars, k, mu_x, logw, x_mask,
+                n_timesteps=15, max_frames=bucket, solver="dpm",
             )
 
         out_sd = run_serving_dpm(base_key)
         float(jnp.sum(out_sd[0]))
         elapsed_sd, out_sd = differential_time(run_serving_dpm, base_key, repeats=3)
         frames_sd = max(int(np.asarray(out_sd[1]).max()), 1)
-        extras["serving_dpm_rtf"] = round(
+        extras["serving_dpm15_rtf"] = round(
             elapsed_sd / (frames_sd * 256 / 22050.0), 5
         )
     except Exception as e:
@@ -294,48 +370,51 @@ def main():
         traceback.print_exc()
         extras["batched_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # ---------------- scenario 4: Heun fast path (15 steps) ----------------
-    # opt-in 2nd-order sampler: quality gated vs Euler@50 by
-    # tests/test_heun_sampler.py::test_heun15_quality_gate_vs_euler50
+    # ---------------- scenario 4: Heun fast path (25 steps) ----------------
+    # opt-in 2nd-order sampler at its trained-field gated point (r4,
+    # tests/test_solver_gates_trained.py: heun@25 0.128 ~ euler@50's 0.123
+    # distance-to-converged at half the evals; the r3 heun@15 gate was
+    # random-weight-only and does not transfer)
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
-        progress("scenario 4 (heun15)")
+        progress("scenario 4 (heun25)")
         def run_heun(k):
             return synth(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
-                n_timesteps=15, max_frames=MAX_FRAMES, x_durations=durations,
+                n_timesteps=25, max_frames=MAX_FRAMES, x_durations=durations,
                 solver="heun",
             )
 
         out_h = run_heun(base_key)
         float(jnp.sum(out_h[0]))
         elapsed_h, _ = differential_time(run_heun, base_key, repeats=3)
-        extras["heun15_rtf"] = round(elapsed_h / audio_seconds, 5)
+        extras["heun25_rtf"] = round(elapsed_h / audio_seconds, 5)
     except Exception as e:
         traceback.print_exc()
         extras["heun_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # ---------------- scenario 5: DPM-Solver++(2M) fast path (10 evals) ----
-    # multistep exponential integrator: ~6x fewer score evals than the
-    # Euler@50 reference protocol at BETTER ODE fidelity (rel RMSE vs a
-    # converged Euler@400 solution: dpm@10 0.078 vs euler@50 0.236 —
-    # tests/test_dpm_sampler.py pins the gate)
+    # ---------------- scenario 5: DPM-Solver++(2M) fast path (15 evals) ----
+    # multistep exponential integrator at its quality-gated point: 15 evals
+    # beat the Euler@50 reference protocol's fidelity ON TRAINED WEIGHTS
+    # (rel RMSE vs converged Euler@400: dpm@15 0.085 vs euler@50 0.123;
+    # dpm@25 0.037 even beats euler@200 — tests/test_solver_gates_trained.py
+    # pins the gate; the r3 dpm@10 claim held only on random weights)
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
-        progress("scenario 5 (dpm10)")
+        progress("scenario 5 (dpm15)")
         def run_dpm(k):
             return synth(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
-                n_timesteps=10, max_frames=MAX_FRAMES, x_durations=durations,
+                n_timesteps=15, max_frames=MAX_FRAMES, x_durations=durations,
                 solver="dpm",
             )
 
         out_d = run_dpm(base_key)
         float(jnp.sum(out_d[0]))
         elapsed_d, _ = differential_time(run_dpm, base_key, repeats=3)
-        extras["dpm10_rtf"] = round(elapsed_d / audio_seconds, 5)
+        extras["dpm15_rtf"] = round(elapsed_d / audio_seconds, 5)
     except Exception as e:
         traceback.print_exc()
         extras["dpm_error"] = f"{type(e).__name__}: {e}"[:200]
