@@ -92,20 +92,10 @@ def create_train_state(model, variables, learning_rate: float, grad_clip_norm: f
     )
 
 
-def make_train_step(
-    model,
-    out_size: Optional[int],
-    loss_fn: Callable = grad_tts_loss,
-    mesh=None,
-    donate: bool = True,
-):
-    """Build a jitted train step. With a mesh, inputs are annotated so the
-    batch shards over "data" and the state replicates (GSPMD DP).
-
-    If the batch carries `pinned_t` / `pinned_z` / `pinned_offsets`, the
-    loss's stochastic draws are overridden by them (convergence-parity study
-    vs the torch reference, which pins the same values via monkeypatched
-    `torch.rand`/`torch.randn`/`random.choice`)."""
+def _make_step_fn(model, out_size: Optional[int], loss_fn: Callable):
+    """The un-jitted single-step core shared by `make_train_step` and
+    `make_train_multistep`: encoder fwd, in-graph MAS, segment cut, U-Net
+    fwd/bwd, per-submodule clip, Adam (ref train.py:166-199)."""
 
     def step_fn(state: TrainState, rng, batch):
         pinned = None
@@ -138,6 +128,26 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    out_size: Optional[int],
+    loss_fn: Callable = grad_tts_loss,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build a jitted train step. With a mesh, inputs are annotated so the
+    batch shards over "data" and the state replicates (GSPMD DP).
+
+    If the batch carries `pinned_t` / `pinned_z` / `pinned_offsets`, the
+    loss's stochastic draws are overridden by them (convergence-parity study
+    vs the torch reference, which pins the same values via monkeypatched
+    `torch.rand`/`torch.randn`/`random.choice`)."""
+
+    step_fn = _make_step_fn(model, out_size, loss_fn)
+
     if mesh is not None:
         b = batch_sharding(mesh)
         r = replicated(mesh)
@@ -153,6 +163,58 @@ def make_train_step(
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_train_multistep(
+    model,
+    out_size: Optional[int],
+    n_steps: int,
+    loss_fn: Callable = grad_tts_loss,
+    mesh=None,
+    donate: bool = True,
+):
+    """`n_steps` full optimizer steps in ONE jitted program (`lax.scan` over
+    a stacked batch pytree).
+
+    The reference dispatches one DDP step per host-loop iteration
+    (train.py:166-199); on TPU behind a remote dispatch path one launch per
+    step leaves the device idle between launches (r4 trace: 13.2 ms wall vs
+    ~5.6 ms device busy at B=16). Scanning K steps per dispatch amortizes
+    launch overhead to 1/K and lets XLA overlap the optimizer update of step
+    i with the forward of step i+1.
+
+    Args:
+      batches: pytree whose leaves are the single-step batch leaves stacked
+        on a NEW leading axis of length `n_steps` (all from the same shape
+        bucket). `rng` is one key; micro-step i uses `fold_in(rng, i)`.
+    Returns `(new_state, metrics)` with each metric leaf stacked `(n_steps,)`.
+    """
+
+    core = _make_step_fn(model, out_size, loss_fn)
+
+    def steps_fn(state: TrainState, rng, batches):
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n_steps)
+        )
+
+        def body(st, key_batch):
+            k, b = key_batch
+            return core(st, k, b)
+
+        return jax.lax.scan(body, state, (keys, batches))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        b = NamedSharding(mesh, P(None, "data"))  # (step, batch, ...)
+        r = replicated(mesh)
+        return jax.jit(
+            steps_fn,
+            in_shardings=(None, r, b),
+            out_shardings=(None, r),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(steps_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, loss_fn: Callable = grad_tts_loss, mesh=None):

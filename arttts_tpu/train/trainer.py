@@ -30,7 +30,12 @@ from arttts_tpu.models.tts import GradTTSModel
 from arttts_tpu.ops.shape import fix_len_compatibility
 from arttts_tpu.parallel.mesh import assemble_global_batch, make_mesh, replicate
 from arttts_tpu.train.losses import loss_for_model
-from arttts_tpu.train.step import create_train_state, make_eval_step, make_train_step
+from arttts_tpu.train.step import (
+    create_train_state,
+    make_eval_step,
+    make_train_multistep,
+    make_train_step,
+)
 from arttts_tpu.utils.early_stopping import EarlyStopping
 
 log = logging.getLogger("arttts_tpu.train")
@@ -97,6 +102,26 @@ class Trainer:
             self.model, out_size=t.out_size, loss_fn=loss_fn, mesh=self.mesh
         )
         self.eval_step = make_eval_step(self.model, loss_fn=loss_fn, mesh=None)
+        # K-step fused dispatch (train/step.py:make_train_multistep): stacks
+        # K same-bucket batches and scans K optimizer steps in ONE launch,
+        # amortizing host dispatch overhead. Multi-host stacking would need
+        # global-array restitching, so it stays single-process.
+        k_md = int(getattr(t, "steps_per_dispatch", 1) or 1)
+        if k_md > 1 and num_hosts > 1:
+            log.warning(
+                "steps_per_dispatch=%d ignored with %d hosts "
+                "(multistep stacking is single-process)", k_md, num_hosts
+            )
+            k_md = 1
+        self.steps_per_dispatch = k_md
+        self.train_multistep = (
+            make_train_multistep(
+                self.model, out_size=t.out_size, n_steps=k_md,
+                loss_fn=loss_fn, mesh=self.mesh,
+            )
+            if k_md > 1
+            else None
+        )
         self.early_stopping = EarlyStopping(patience=t.patience, step_size=t.save_every)
         self.start_epoch = 1
 
@@ -156,17 +181,57 @@ class Trainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         agg: Dict[str, list] = {}
-        for batch in self.train_loader:
+        K = self.steps_per_dispatch
+        pending: list = []  # same-bucket batches awaiting a fused dispatch
+
+        def shape_sig(b):
+            return tuple(sorted((k, v.shape) for k, v in b.items()))
+
+        def step_single(b):
             key, self.rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(self.state, key, b)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(v)
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == K:
+                key, self.rng = jax.random.split(self.rng)
+                batches = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pending
+                )
+                self.state, metrics = self.train_multistep(
+                    self.state, key, batches
+                )
+                for k, v in metrics.items():
+                    agg.setdefault(k, []).append(v)  # (K,) per metric
+            else:  # epoch tail / bucket change: plain per-step dispatches
+                for b in pending:
+                    step_single(b)
+            pending.clear()
+
+        for batch in self.train_loader:
             if self.mesh is not None:
                 batch = assemble_global_batch(self.mesh, batch, self.num_hosts)
             else:
                 batch = jax.tree_util.tree_map(jnp.asarray, batch)
-            self.state, metrics = self.train_step(self.state, key, batch)
-            for k, v in metrics.items():
-                agg.setdefault(k, []).append(v)
-        # one host sync per epoch
-        out = {k: float(np.mean([np.asarray(v) for v in vs])) for k, vs in agg.items()}
+            if K <= 1:
+                step_single(batch)
+                continue
+            if pending and shape_sig(batch) != shape_sig(pending[0]):
+                flush()  # bucket changed: fused dispatch needs equal shapes
+            pending.append(batch)
+            if len(pending) == K:
+                flush()
+        flush()
+        # one host sync per epoch (metric leaves are scalars or (K,) arrays)
+        out = {
+            k: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in vs]
+            )))
+            for k, vs in agg.items()
+        }
         if self.tb:
             for k, v in out.items():
                 self.tb.add_scalar(f"training/{k}", v, epoch)

@@ -32,7 +32,13 @@ def _latest_trace_file(trace_dir: str) -> str:
 
 def load_device_events(trace_dir: str) -> List[dict]:
     """All complete ('X') events on device-pid "XLA Ops" threads, each a
-    dict with name/ts/dur (microseconds)."""
+    dict with name/ts/dur (microseconds).
+
+    Only "XLA Ops" threads count: the "Steps" thread carries one umbrella
+    event per executed program (named "0", "1", ...) spanning the whole
+    step INCLUDING device idle gaps — it would both inflate the busy union
+    and appear as a giant fake leaf op (seen on the first train-step trace:
+    a 5.96 ms "0" leaf over a ~5.6 ms op sum)."""
     data = json.load(gzip.open(_latest_trace_file(trace_dir)))
     events = data["traceEvents"]
     device_pids = set()
@@ -43,9 +49,9 @@ def load_device_events(trace_dir: str) -> List[dict]:
                 e["args"].get("name", "")
             ):
                 device_pids.add(e["pid"])
-            if e.get("name") == "thread_name" and e["args"].get("name") in (
-                "XLA Ops",
-                "Steps",
+            if (
+                e.get("name") == "thread_name"
+                and e["args"].get("name") == "XLA Ops"
             ):
                 op_tids.add((e["pid"], e["tid"]))
     out = []

@@ -460,6 +460,55 @@ def main():
         elapsed_t, _ = differential_time(run_train, base_key, repeats=3)
         extras["train_step_ms_b16"] = round(elapsed_t * 1000.0, 2)
         extras["train_steps_per_s"] = round(1.0 / elapsed_t, 1)
+        # train MFU from XLA cost_analysis (the whole step is XLA: the
+        # fused Pallas U-Net kernels are forward-only, so training runs
+        # the module path and cost_analysis sees every op). The second
+        # compile is a persistent-cache hit.
+        cost_t = step.lower(state, base_key, batch).compile().cost_analysis()
+        if isinstance(cost_t, list):
+            cost_t = cost_t[0]
+        flops_t = float(cost_t.get("flops", 0.0))
+        if flops_t > 0:
+            extras["train_flops_g"] = round(flops_t / 1e9, 1)
+            extras["train_tflops"] = round(flops_t / elapsed_t / 1e12, 2)
+            extras["train_mfu"] = round(
+                flops_t / elapsed_t / V5E_PEAK_FLOPS, 4
+            )
+        # K-step scan trainer (train/step.py:make_train_multistep): one
+        # launch per K steps removes the per-dispatch host gap the r4
+        # trace exposed (13.2 ms wall vs ~5.6 ms device busy single-step).
+        try:
+            if over_budget():
+                raise TimeoutError("bench budget spent")
+            progress("scenario 6b (multistep train)")
+            from arttts_tpu.train.step import make_train_multistep
+
+            K_ms = 8
+            multi = make_train_multistep(
+                m1, out_size=cfg1.train.out_size, n_steps=K_ms, donate=False
+            )
+            batches_m = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * K_ms), batch
+            )
+
+            def run_multi(k):
+                _, met = multi(state, k, batches_m)
+                return (met["total_loss"][-1],)
+
+            out_m = run_multi(base_key)
+            float(jnp.sum(out_m[0]))
+            elapsed_m, _ = differential_time(
+                run_multi, base_key, n_small=1, n_large=4, repeats=3
+            )
+            per_step_m = elapsed_m / K_ms
+            extras["train_multistep8_ms"] = round(per_step_m * 1000.0, 2)
+            if flops_t > 0:
+                extras["train_mfu_multistep"] = round(
+                    flops_t / per_step_m / V5E_PEAK_FLOPS, 4
+                )
+        except Exception as e:
+            traceback.print_exc()
+            extras["train_multistep_error"] = f"{type(e).__name__}: {e}"[:200]
     except Exception as e:
         traceback.print_exc()
         extras["train_error"] = f"{type(e).__name__}: {e}"[:200]

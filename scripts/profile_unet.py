@@ -97,6 +97,27 @@ def main():
     jax.profiler.stop_trace()
     print("trace ->", args.trace_dir)
 
+    from arttts_tpu.utils.trace_analysis import (
+        device_busy_seconds, grouped_report, leaf_op_table,
+    )
+
+    busy = device_busy_seconds(args.trace_dir)
+    print(f"device busy {busy*1e3:.2f} ms (window: 1 loop + fetch)")
+    groups = {
+        "resblock_kernel": ("resblock",),
+        "boundary_kernel": ("downsample", "conv_transpose", "convt", "updown"),
+        "conv": ("conv",),
+        "dot": ("dot", "gemm"),
+        "copy/layout": ("copy", "bitcast", "transpose", "reshape", "pad"),
+        "custom-call": ("custom-call",),
+        "reduce": ("reduce",),
+        "select/cmp": ("select", "compare"),
+    }
+    print("grouped leaf-op device ms:", grouped_report(args.trace_dir, groups))
+    print("top 30 leaf ops (name, total_ms, count):")
+    for name, ms, cnt in leaf_op_table(args.trace_dir)[:30]:
+        print(f"  {ms:9.3f} ms x{cnt:5d}  {name[:100]}")
+
 
 if __name__ == "__main__":
     main()

@@ -68,6 +68,27 @@ def test_trainer_fit_and_resume(corpus, tmp_path):  # noqa: F811
     assert start == 3
 
 
+def test_trainer_multistep_dispatch(corpus, tmp_path):  # noqa: F811
+    """steps_per_dispatch=2 fuses pairs of same-bucket batches into one
+    scanned launch (train/step.py:make_train_multistep); odd tails fall back
+    to single steps. The epoch must aggregate (K,) metric arrays correctly."""
+    root, filelist = corpus
+    ds = TextMelDataset(
+        filelist, CMU_PATH, data_root_dir=str(root), mel_cache_dir=str(root / "mc")
+    )
+    cfg = _tiny_experiment(tmp_path / "logs")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_dispatch=2)
+    )
+    trainer = Trainer(cfg, ds, valid_dataset=None, tb_writer=False)
+    trainer.tb = None
+    assert trainer.train_multistep is not None
+    out = trainer.train_epoch(1)
+    assert np.isfinite(out["total_loss"])
+    n_batches = sum(1 for _ in trainer.train_loader)
+    assert int(trainer.state.step) == n_batches  # every batch stepped once
+
+
 def test_early_stopping_semantics():
     es = EarlyStopping(patience=2)
     c, gi = es.step([1.0, 1.0, 1.0, 1.0])
