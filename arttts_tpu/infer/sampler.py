@@ -34,6 +34,7 @@ def reverse_diffusion(
     spk=None,
     rng: Optional[jax.Array] = None,
     sharded: bool = False,
+    mesh=None,
 ):
     """Euler reverse-SDE/ODE sampler (diffusion.py:302-324).
 
@@ -42,7 +43,9 @@ def reverse_diffusion(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
-    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
+    score_fn = make_score_fn(
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+    )
 
     def body(i, xt):
         t = (1.0 - (i + 0.5) * h) * jnp.ones((B,), z.dtype)
@@ -71,6 +74,7 @@ def reverse_diffusion_heun(
     n_timesteps: int,
     spk=None,
     sharded: bool = False,
+    mesh=None,
 ):
     """Second-order (Heun) probability-flow ODE sampler — an opt-in
     beyond-reference fast path: reaches the Euler sampler's solution with
@@ -83,7 +87,9 @@ def reverse_diffusion_heun(
     dec = model.config.decoder
     h = 1.0 / n_timesteps
     B = z.shape[0]
-    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
+    score_fn = make_score_fn(
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+    )
 
     def drift(xt, t_scalar):
         t = t_scalar * jnp.ones((B,), z.dtype)
@@ -111,6 +117,7 @@ def reverse_diffusion_dpm2m(
     spk=None,
     t_end: float = 1e-2,
     sharded: bool = False,
+    mesh=None,
 ):
     """DPM-Solver++(2M) for the probability-flow ODE — a beyond-reference
     fast path: ONE score evaluation per step (multistep second order), so
@@ -171,7 +178,9 @@ def reverse_diffusion_dpm2m(
         z.dtype,
     )
 
-    score_fn = make_score_fn(model, variables, T=z.shape[1], sharded=sharded)
+    score_fn = make_score_fn(
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+    )
 
     def score_x0(y, t_scalar, sig, alp):
         t = t_scalar * jnp.ones((B,), z.dtype)
@@ -265,17 +274,17 @@ def synthesize_from_encoding(
     if solver == "heun":
         dec_out = reverse_diffusion_heun(
             model, variables, z, y_mask, mu_y, n_timesteps, spk,
-            sharded=seq_sharded,
+            sharded=seq_sharded, mesh=mesh if seq_sharded else None,
         )
     elif solver == "dpm":
         dec_out = reverse_diffusion_dpm2m(
             model, variables, z, y_mask, mu_y, n_timesteps, spk,
-            sharded=seq_sharded,
+            sharded=seq_sharded, mesh=mesh if seq_sharded else None,
         )
     else:
         dec_out = reverse_diffusion(
             model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk,
-            rng_stoc, sharded=seq_sharded,
+            rng_stoc, sharded=seq_sharded, mesh=mesh if seq_sharded else None,
         )
     return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
 

@@ -117,6 +117,22 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def time_embedding(d, params, t) -> jnp.ndarray:
+    """mish(MLP(sinusoidal(t))) time conditioning (unet2d.py:224-228;
+    phases always f32 — bf16 phases at pe_scale=1000 are a multi-radian
+    error, CLAUDE.md). Shared by the fast and sequence-parallel paths."""
+    half = d.dim // 2
+    freq = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(math.log(10000.0) / (half - 1))
+    )
+    ang = d.pe_scale * t.astype(jnp.float32)[:, None] * freq[None, :]
+    te = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    te = te @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"]
+    t_emb = _mish(te) @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
+    return _mish(t_emb)
+
+
 def _bdot(a, b, out_dtype=jnp.float32):
     """Large attention contraction in bf16 with f32 accumulation — the
     same multiply precision XLA gives the model's convs on v5e; f32 dots
@@ -298,17 +314,7 @@ def score2d_fast(
             eps=eps, interpret=interpret, attn_params=attn,
         )
 
-    # ---- time embedding (unet2d.py:224-228; phases always f32) ---------
-    half = dim // 2
-    freq = jnp.exp(
-        jnp.arange(half, dtype=jnp.float32)
-        * -(math.log(10000.0) / (half - 1))
-    )
-    ang = d.pe_scale * t.astype(jnp.float32)[:, None] * freq[None, :]
-    te = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    te = te @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"]
-    t_emb = _mish(te) @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"]
-    tmish = _mish(t_emb)
+    tmish = time_embedding(d, params, t)
 
     def tvec(pk):
         v = tmish @ pk["Dense_0"]["kernel"] + pk["Dense_0"]["bias"]
@@ -457,15 +463,32 @@ def score2d_fast(
 
 
 def make_score_fn(
-    model, variables, T: int, interpret: bool = False, sharded: bool = False
+    model, variables, T: int, interpret: bool = False, sharded: bool = False,
+    mesh=None,
 ):
     """Dispatch: the fused fast path when supported on this backend,
     otherwise the module's `estimate_noise`.  `model` is a GradTTSModel;
-    T is the (static) frame-bucket length.  `sharded=True` (the
-    sequence-parallel sampler: frame axis split over a mesh) forces the
-    module path — the fused kernels carry no GSPMD sequence-sharding
-    rules, so GSPMD would gather the full frame axis onto every device."""
+    T is the (static) frame-bucket length.
+
+    `sharded=True` (the sequence-parallel sampler: frame axis split over a
+    mesh's "model" axis) routes to the explicit-SPMD fast path
+    (models/unet2d_sp.py: shard_map + packed math + halo/stat collectives)
+    when the geometry supports it and `mesh` is given; otherwise the module
+    path, which GSPMD partitions (the fused Pallas kernels themselves carry
+    no sequence-sharding rules)."""
     cfg = model.config
+    if sharded and mesh is not None:
+        from arttts_tpu.models.unet2d_sp import (
+            make_sp_score_fn,
+            unet2d_sp_runtime_enabled,
+            unet2d_sp_supported,
+        )
+
+        n_model = mesh.shape.get("model", 1)
+        if unet2d_sp_supported(cfg, T, n_model) and (
+            interpret or unet2d_sp_runtime_enabled()
+        ):
+            return make_sp_score_fn(model, variables, T, mesh)
     use_fast = (
         not sharded
         and unet2d_fast_supported(cfg, T)
