@@ -122,7 +122,10 @@ def main():
     )
 
     vocoder = HiFiGANGenerator()
-    voc_vars = vocoder.init(
+    # jitted: eager init runs op-by-op through the tunnel (~minutes; the
+    # per-op jit_conv_general_dilated entries in the compile cache were
+    # this line)
+    voc_vars = jax.jit(vocoder.init)(
         jax.random.PRNGKey(1), jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
     )
 
@@ -343,47 +346,6 @@ def main():
     except Exception as e:
         traceback.print_exc()
         extras["serving_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    # ------- scenario 2b: short-utterance serving (smaller bucket) ---------
-    # VERDICT r3 asked for a second bucket point so serving_rtf isn't
-    # bucket-quantization luck.  Same compiled encoder program (static
-    # (1, 96) tokens, shorter x_lengths); the lower predicted duration
-    # lands in a smaller frame bucket, exercising the short-T decode path
-    # where per-step fixed costs dominate.
-    try:
-        if over_budget():
-            raise TimeoutError("bench budget spent")
-        progress("scenario 2b (short-utterance serving)")
-        from arttts_tpu.infer.sampler import (
-            encode_text, synthesize_to_wav_from_encoding,
-        )
-
-        xl_short = jnp.array([64] * B, dtype=jnp.int32)
-        _, _, _, preds0 = encode_text(model, variables, x, xl_short)
-        pred_s = int(np.ceil(float(jnp.max(preds0))))
-        bucket_s = frame_bucket(fix_len_compatibility(pred_s))
-
-        def run_serving_short(k):
-            mu_x, logw, x_mask, _ = encode_text(model, variables, x, xl_short)
-            return synthesize_to_wav_from_encoding(
-                model, variables, vocoder, voc_vars, k, mu_x, logw, x_mask,
-                n_timesteps=N_STEPS, max_frames=bucket_s,
-            )
-
-        out_ss = run_serving_short(base_key)
-        float(jnp.sum(out_ss[0]))
-        elapsed_ss, out_ss = differential_time(
-            run_serving_short, base_key, repeats=3
-        )
-        frames_ss = max(int(np.asarray(out_ss[1]).max()), 1)
-        extras["serving_short_rtf"] = round(
-            elapsed_ss / (frames_ss * 256 / 22050.0), 5
-        )
-        extras["serving_short_bucket"] = bucket_s
-        extras["serving_short_frames"] = frames_ss
-    except Exception as e:
-        traceback.print_exc()
-        extras["serving_short_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---------------- scenario 3: batched serving (B=8) --------------------
     try:
@@ -671,6 +633,50 @@ def main():
     except Exception as e:
         traceback.print_exc()
         extras["mel_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ------- scenario 10: short-utterance serving (smaller bucket) ---------
+    # VERDICT r3 asked for a second bucket point so serving_rtf isn't
+    # bucket-quantization luck.  Same compiled encoder program (static
+    # (1, 96) tokens, shorter x_lengths); the lower predicted duration
+    # lands in a smaller frame bucket, exercising the short-T decode path
+    # where per-step fixed costs dominate.  Buckets below 256 fall back to
+    # the MODULE U-Net path (`unet2d_fast_supported` needs T % 256 == 0),
+    # so this also covers the fallback decode.  Runs LAST: the short-T
+    # compile is new this round and must not starve earlier scenarios.
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget spent")
+        progress("scenario 10 (short-utterance serving)")
+        from arttts_tpu.infer.sampler import (
+            encode_text, synthesize_to_wav_from_encoding,
+        )
+
+        xl_short = jnp.array([64] * B, dtype=jnp.int32)
+        _, _, _, preds0 = encode_text(model, variables, x, xl_short)
+        pred_s = int(np.ceil(float(jnp.max(preds0))))
+        bucket_s = frame_bucket(fix_len_compatibility(pred_s))
+
+        def run_serving_short(k):
+            mu_x, logw, x_mask, _ = encode_text(model, variables, x, xl_short)
+            return synthesize_to_wav_from_encoding(
+                model, variables, vocoder, voc_vars, k, mu_x, logw, x_mask,
+                n_timesteps=N_STEPS, max_frames=bucket_s,
+            )
+
+        out_ss = run_serving_short(base_key)
+        float(jnp.sum(out_ss[0]))
+        elapsed_ss, out_ss = differential_time(
+            run_serving_short, base_key, repeats=3
+        )
+        frames_ss = max(int(np.asarray(out_ss[1]).max()), 1)
+        extras["serving_short_rtf"] = round(
+            elapsed_ss / (frames_ss * 256 / 22050.0), 5
+        )
+        extras["serving_short_bucket"] = bucket_s
+        extras["serving_short_frames"] = frames_ss
+    except Exception as e:
+        traceback.print_exc()
+        extras["serving_short_error"] = f"{type(e).__name__}: {e}"[:200]
 
     target = 0.02
     print(

@@ -48,7 +48,9 @@ def main():
         jnp.ones((B, 64, 1)), jnp.zeros((B,)),
     )
     vocoder = HiFiGANGenerator()
-    voc_vars = vocoder.init(jax.random.PRNGKey(1), jnp.zeros((B, 768, 80)))
+    voc_vars = jax.jit(vocoder.init)(
+        jax.random.PRNGKey(1), jnp.zeros((B, 768, 80))
+    )
 
     base_key = jax.random.PRNGKey(1)
     _, _, _, pred0 = encode_text(model, variables, x, x_lengths)
