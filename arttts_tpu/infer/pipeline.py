@@ -49,11 +49,21 @@ def run_acoustic_inference_batched(
 ) -> list:
     """Batched synthesis (serving mode): items are length-grouped, padded to
     shared static buckets, and synthesized `batch_size` sentences per device
-    call. Requires a model built with `decoder.masked_norm=True` for
-    padding-exact outputs (the reference cannot batch at all —
-    `arttts_inference.py:227-231`). Writes the same (29|161, T) artifacts.
+    call. `decoder.masked_norm=True` is auto-enabled (VERDICT r4 #6): padded
+    batches need padding-exact GroupNorm statistics to match per-sentence
+    synthesis (the reference cannot batch at all —
+    `arttts_inference.py:227-231`); masked_norm is computation-only, so the
+    same trained `variables` apply. Writes the same (29|161, T) artifacts.
     """
-    model = GradTTSModel(config=config.model)
+    import dataclasses
+
+    model_cfg = config.model
+    if not model_cfg.decoder.masked_norm:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            decoder=dataclasses.replace(model_cfg.decoder, masked_norm=True),
+        )
+    model = GradTTSModel(config=model_cfg)
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     is_artic = config.model.n_feats == 16

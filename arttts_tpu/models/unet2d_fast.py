@@ -34,9 +34,13 @@ from arttts_tpu.models.convs import ConvTranspose2dTorch
 from arttts_tpu.models.unet2d import Downsample2d
 from arttts_tpu.ops.updown_pallas import (
     conv_transpose2d_from_real64,
+    conv_transpose2d_wide,
     downsample2d_to_real64,
+    downsample2d_wide,
     pack_convt_params,
+    pack_convt_wide_params,
     pack_downsample_params,
+    pack_downsample_wide_params,
 )
 from arttts_tpu.ops.resblock2d_pallas import (
     PAD,
@@ -278,6 +282,7 @@ def score2d_fast(
     spk_emb=None,
     interpret: bool = False,
     fuse_attn: bool = True,
+    mid_kernels: bool = True,
 ) -> jnp.ndarray:
     """Noise estimate on (B, T, n_feats) inputs; `params` is the
     estimator's param dict (`variables["params"]["estimator"]`).
@@ -286,7 +291,13 @@ def score2d_fast(
     extra grid phases INSIDE the preceding resblock kernel (the XLA
     formulation cost ~520 us/step of bandwidth-bound fusions and
     destabilized the layouts around the custom calls); the XLA
-    formulation stays for A/B via ARTTTS_UNET_FUSED_ATTN=0."""
+    formulation stays for A/B via ARTTTS_UNET_FUSED_ATTN=0.
+
+    With `mid_kernels` (r5, VERDICT r4 #4) the two remaining XLA ops in
+    the body — Downsample2d_1 and ConvTranspose2dTorch_0 — run as wide
+    Pallas kernels on the padded wide layout, removing the unpad/mask/
+    re-pad boundary copies that unfuse at B=8 (r4 paired traces:
+    copy/layout 0.172 -> 3.46 ms/step).  A/B: ARTTTS_UNET_MID_KERNELS=0."""
     d = cfg.decoder
     B, T, F = xt.shape
     dim = d.dim
@@ -385,10 +396,19 @@ def score2d_fast(
             params["LinearAttention2d_1"], params["Rezero_1"]["g"], h
         )
     hid2 = h  # padded wide (B, F/2, T/2+2*PAD, 128)
-    h = Downsample2d(128).apply(
-        {"params": params["Downsample2d_1"]}, unpad_wide(h) * m2
-    )  # (B, F/4, T/4, 128)
-    h = rbw("ResnetBlock2d_4", 256, (128,), (pad_wide(h),), lengths4)
+    if mid_kernels:
+        h = downsample2d_wide(
+            h, lengths2,
+            pack_downsample_wide_params(params["Downsample2d_1"]),
+            interpret=interpret,
+        )  # (B, F/4, T/4+2*PAD, 128) padded wide, masked internally
+    else:
+        h = pad_wide(
+            Downsample2d(128).apply(
+                {"params": params["Downsample2d_1"]}, unpad_wide(h) * m2
+            )
+        )  # (B, F/4, T/4, 128)
+    h = rbw("ResnetBlock2d_4", 256, (128,), (h,), lengths4)
     h = rbw("ResnetBlock2d_5", 256, (256,), (h,), lengths4, attn=attn_w(2))
     if not fuse_attn:
         h = _attn_wide(
@@ -409,9 +429,19 @@ def score2d_fast(
         h = _attn_wide(
             params["LinearAttention2d_4"], params["Rezero_4"]["g"], h
         )
-    h = ConvTranspose2dTorch(128, 128, 4, 2, 1).apply(
-        {"params": params["ConvTranspose2dTorch_0"]}, unpad_wide(h) * m3
-    )  # -> (B, F/2, T/2, 128)
+    if mid_kernels:
+        h = conv_transpose2d_wide(
+            h, lengths4,
+            pack_convt_wide_params(params["ConvTranspose2dTorch_0"]),
+            interpret=interpret,
+        )  # -> (B, F/2, T/2+2*PAD, 128) padded wide
+    else:
+        h = pad_wide(
+            ConvTranspose2dTorch(128, 128, 4, 2, 1).apply(
+                {"params": params["ConvTranspose2dTorch_0"]},
+                unpad_wide(h) * m3,
+            )
+        )  # -> (B, F/2, T/2, 128)
 
     # ---- second up at half resolution: real64 wide kernels ------------
     # (64 output channels carried in 128-lane buffers, upper half zero:
@@ -428,7 +458,7 @@ def score2d_fast(
         )
 
     hq = rbw64(
-        "ResnetBlock2d_10", (128, 128), (pad_wide(h), hid2), lengths2
+        "ResnetBlock2d_10", (128, 128), (h, hid2), lengths2
     )
     hq = rbw64(
         "ResnetBlock2d_11", (64,), (hq,), lengths2,
@@ -505,6 +535,9 @@ def make_score_fn(
     fuse_attn = os.environ.get("ARTTTS_UNET_FUSED_ATTN", "1") not in (
         "", "0"
     )
+    mid_kernels = os.environ.get("ARTTTS_UNET_MID_KERNELS", "1") not in (
+        "", "0"
+    )
 
     def score(xt, mask, mu, t, spk):
         emb = None
@@ -512,7 +545,7 @@ def make_score_fn(
             emb = model.apply(variables, spk, method="embed_speaker")
         return score2d_fast(
             cfg, est_params, xt, mask, mu, t, emb, interpret=interpret,
-            fuse_attn=fuse_attn,
+            fuse_attn=fuse_attn, mid_kernels=mid_kernels,
         )
 
     return score

@@ -235,6 +235,17 @@ def unpack_image(x: jnp.ndarray, C: int = C_HALF, padded: bool = True):
 # measured by difference against the full kernel (VERDICT r3 #5: bound
 # the 50-step-loop floor with experiments, not arguments).
 _NO_VPU = os.environ.get("ARTTTS_RB_NO_VPU", "0") not in ("", "0")
+if _NO_VPU:
+    # Loud and unconditional (ADVICE r4): this flag produces WRONG AUDIO
+    # (no activations, no normalization statistics) and parity tests do
+    # not exercise it — a leaked env var must be self-identifying.
+    import logging as _logging
+
+    _logging.getLogger(__name__).warning(
+        "ARTTTS_RB_NO_VPU=1 is active: resblock kernels run WITHOUT mish/"
+        "GroupNorm statistics. Outputs are numerically WRONG — this is a "
+        "benchmark-only floor probe, never a serving configuration."
+    )
 
 
 def _mish(x):

@@ -173,6 +173,14 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "ǃ": _cons(velaric=1, ant=-1, cor=1, distr=-1),
     "ǂ": _cons(velaric=1, ant=-1, cor=1, distr=1),
     "ǁ": _cons(velaric=1, lat=1, ant=1, cor=1, distr=-1),
+    # --- long-tail consonants (r5 tranche: VoxCommunis MFA long tail) -----
+    "ʙ": _cons(son=1, cont=1, voi=1, lab=1, ant=1),          # bilabial trill
+    "ⱱ": _cons(son=1, cont=-1, voi=1, lab=1, ant=1, strid=1),  # labiodental flap
+    "ɺ": _cons(son=1, cont=-1, lat=1, voi=1, ant=1, cor=1, distr=-1),  # lateral flap
+    "ʜ": _cons(son=-1, cons=1, cont=1, ant=-1, lo=1, back=1, strid=1),  # epiglottal fric
+    "ʢ": _cons(son=-1, cons=1, cont=1, voi=1, ant=-1, lo=1, back=1, strid=1),
+    "ʡ": _cons(cg=1, ant=-1, lo=1, back=1),                  # epiglottal stop
+    "ɧ": _cons(cont=1, strid=1, ant=-1, cor=1, distr=1, hi=1, back=1, lab=1),  # Swedish sj
     # --- additional consonants (msml1h language sweep) ---------------------
     "ɱ": _cons(son=1, nas=1, voi=1, lab=1, ant=1, strid=1),  # labiodental nasal
     "ʀ": _cons(son=1, cont=1, voi=1, ant=-1, hi=-1, back=1),  # uvular trill
@@ -192,6 +200,7 @@ SEGMENTS: Dict[str, Dict[str, int]] = {
     "ɵ": _vowel(-1, -1, 0, 1, 1),
     "ɘ": _vowel(-1, -1, 0, -1, 1),
     "ɞ": _vowel(-1, -1, 0, 1, -1),
+    "ʚ": _vowel(-1, -1, 0, 1, -1, strid=1),  # closed-epsilon variant of ɞ
     "ɪ̈": _vowel(1, -1, 0, -1, -1),
     "ə̯": _vowel(-1, -1, 0, -1, 0, syl=-1),  # non-syllabic schwa
     "ɚ": _vowel(-1, -1, 0, -1, 0, cor=1),  # rhotacized schwa (== "ə˞")
@@ -233,10 +242,37 @@ _MODIFIERS = {
     "ⁿ": {"nas": 1},          # prenasalization
     "˺": {},                  # unreleased (no featural change)
     "̆": {},                  # extra-short
+    "̑": {},                  # combining inverted breve (extra-short variant)
     "̝": {},                  # raised
     "̞": {},                  # lowered
     "ᵊ": {},                  # epenthetic schwa release
+    "̈": {"back": 0},         # centralized (combining diaeresis, e.g. ä)
+    "̽": {"back": 0},         # mid-centralized
+    "̍": {"syl": 1},          # syllabic (combining line above, e.g. ŋ̍)
+    "ˡ": {"lat": 1},          # lateral release
+    # tone accents on vowels (African/tonal CommonVoice corpora)
+    "́": {"hitone": 1},                 # acute: high tone
+    "̀": {"hitone": -1},                # grave: low tone
+    "̄": {},                            # macron: mid tone
+    "̂": {"hitone": 1, "hireg": -1},    # circumflex: falling contour
+    "̌": {"hitone": -1, "hireg": 1},    # caron: rising contour
 }
+
+# Prefix modifiers (applied from the LEFT of the base segment): superscript
+# prenasalization (Bantu ᵐb/ⁿd/ᵑɡ) and click accompaniments (ᵏǃ/ᶢǀ).
+_PREFIX_MODIFIERS = {
+    "ᵐ": {"nas": 1},
+    "ⁿ": {"nas": 1},
+    "ᵑ": {"nas": 1},
+    "ᶮ": {"nas": 1},
+    "ᵏ": {},
+    "ᶢ": {"voi": 1},
+}
+
+# Transparent characters inside phone strings: stress/syllable/boundary
+# marks carry no segmental features (the reference's panphon tokenization
+# drops them the same way).
+_SKIP_CHARS = set("ˈˌ.‿|‖  ")
 
 
 # Pristine copy of the hand-authored table so `load_table` swaps are
@@ -338,12 +374,16 @@ def segment_features(segment: str) -> Optional[np.ndarray]:
     """
     if segment in SEGMENTS:
         return np.array([SEGMENTS[segment][t] for t in TRAITS], dtype=np.int8)
-    # strip modifiers from the right
+    # strip modifiers: suffix diacritics from the right, then superscript
+    # prenasalization / click accompaniments from the left
     mods: List[Dict[str, int]] = []
     base = segment
     while base and base[-1] in _MODIFIERS:
         mods.append(_MODIFIERS[base[-1]])
         base = base[:-1]
+    while base and base[0] in _PREFIX_MODIFIERS:
+        mods.append(_PREFIX_MODIFIERS[base[0]])
+        base = base[1:]
     if base in SEGMENTS:
         d = dict(SEGMENTS[base])
         for m in mods:
@@ -361,6 +401,11 @@ def word_features(word: str) -> Optional[np.ndarray]:
     """
     rows: List[np.ndarray] = []
     i = 0
+    if word not in SEGMENTS and word_nfd(word) != word:
+        # NFC input (precomposed codepoints like "ĩ" U+0129): decompose so
+        # base+combining-diacritic lookup applies. Table keys are stored in
+        # their authored (mostly NFD) form, so only recurse when changed.
+        return word_features(word_nfd(word))
     # longest key in the (possibly swapped) table, incl. tie bars/modifiers
     max_len = max(_MAX_SEG_LEN, 5)
     while i < len(word):
@@ -373,8 +418,9 @@ def word_features(word: str) -> Optional[np.ndarray]:
                 break
         if match is None:
             # stray tie bar between segments not listed as a unit: treat the
-            # components independently (panphon parses arbitrary ligatures)
-            if word[i] == "͡":
+            # components independently (panphon parses arbitrary ligatures);
+            # stress/syllable/boundary marks are featureless — skip them
+            if word[i] == "͡" or word[i] in _SKIP_CHARS:
                 i += 1
                 continue
             return None
@@ -382,6 +428,12 @@ def word_features(word: str) -> Optional[np.ndarray]:
     if not rows:
         return None
     return np.stack(rows, axis=0)
+
+
+def word_nfd(word: str) -> str:
+    import unicodedata
+
+    return unicodedata.normalize("NFD", word)
 
 
 def validate_segment(segment: str) -> bool:

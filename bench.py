@@ -11,9 +11,32 @@ The same JSON line carries an `extras` object with:
   - `serving_rtf`: the REAL serving path — duration prediction -> bucket
     pick (`infer/sampler.py:frame_bucket`) -> synthesis at that bucket;
   - `batched_rtf_per_utt`: batch-8 serving (one dispatch, 8 utterances);
-  - `mfu` / `hbm_util`: achieved FLOP/s and bytes/s from XLA's
-    cost_analysis of the compiled program vs v5e peaks (197 Tbf16FLOP/s,
-    819 GB/s) — says whether "fast" is compute- or bandwidth-bound.
+  - `mfu_total` / `mfu_device`: model FLOPs (XLA cost analysis of the
+    Pallas-free lowering of the same math) over wall / device-busy time.
+
+INDESTRUCTIBILITY (r5, after two driver benches died unrecorded — r2
+compile OOM rc=1, r4 remote-compile-queue starvation rc=124):
+  - ALL results accumulate in a global STATE; `emit()` prints the single
+    JSON line exactly once and is wired to (a) normal completion, (b)
+    SIGTERM/SIGINT handlers, (c) an uncaught-exception finally block, and
+    (d) a daemon WATCHDOG THREAD with a hard internal deadline
+    (ARTTTS_BENCH_DEADLINE_S, default 1500 s) that fires even when the
+    main thread is blocked inside a C++ XLA compile call — the exact r4
+    failure mode, which no Python signal handler can interrupt.
+  - Before the first big compile, a compile-queue PROBE times a tiny
+    fresh-shaped jit; if the remote compile queue is starved (the r4
+    poisoned-queue signature) it waits and retries with stderr progress
+    instead of blocking inside the headline compile.
+  - The headline is measured TWICE: first a cheap provisional pass on the
+    pure-XLA fallback path (kill switches on) so *a* headline exists
+    early, then the Pallas serving path overwrites it. The provisional
+    compile doubles as the model-FLOPs cost analysis (Pallas custom calls
+    are invisible to cost_analysis, the XLA lowering is the analytic
+    model cost).
+  - A state file (~/.cache/arttts_bench_state.json) keeps the last fully
+    measured result; if a run dies before ANY headline is measured, the
+    emergency emission reports the stale value explicitly marked
+    `"stale": true` alongside the error, never `parsed: null`.
 
 Timing notes: `block_until_ready` does not synchronize through remote-device
 tunnels, so iteration cost is measured differentially — time(N2 runs +
@@ -26,7 +49,9 @@ vs_baseline = target_rtf / measured_rtf (>1 is better than target).
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 import traceback
 
@@ -36,6 +61,121 @@ import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU (f32 convs multiply in bf16 on v5e)
 V5E_PEAK_HBM = 819e9  # bytes/s
+TARGET_RTF = 0.02
+
+T_START = time.perf_counter()
+STATE_FILE = os.path.expanduser("~/.cache/arttts_bench_state.json")
+
+# Everything measured so far; emit() serializes whatever is here.
+STATE = {"rtf": None, "extras": {}, "phase": "startup"}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def progress(msg: str) -> None:
+    # stderr timeline so a killed run shows where time went (the JSON
+    # contract owns stdout)
+    STATE["phase"] = msg
+    print(
+        f"[bench +{time.perf_counter() - T_START:7.1f}s] {msg}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def emit(reason: str) -> None:
+    """Print the single JSON line. Thread-safe, exactly-once; callable
+    from the watchdog thread while the main thread is wedged in a compile."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    extras = dict(STATE["extras"])
+    rtf = STATE["rtf"]
+    if rtf is None:
+        extras["error"] = (
+            f"no headline measured ({reason}); died in phase: {STATE['phase']}"
+        )
+        stale = _load_state_file()
+        if stale is not None:
+            rtf = stale.get("rtf")
+            extras["stale"] = True
+            extras["stale_from"] = stale.get("ts")
+            for k, v in (stale.get("extras") or {}).items():
+                extras.setdefault(k, v)
+    if reason != "complete":
+        extras["partial"] = reason
+    payload = {
+        "metric": "text2wav_rtf_50step",
+        "value": round(rtf, 5) if rtf else 0.0,
+        "unit": "rtf_per_chip",
+        "vs_baseline": round(TARGET_RTF / rtf, 3) if rtf else 0.0,
+        "extras": extras,
+    }
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
+    try:
+        os.fsync(sys.stdout.fileno())
+    except OSError:
+        pass
+
+
+def _load_state_file():
+    try:
+        with open(STATE_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _save_state_file() -> None:
+    if STATE["rtf"] is None:
+        return  # never clobber a prior good state with a headline-less run
+    try:
+        os.makedirs(os.path.dirname(STATE_FILE), exist_ok=True)
+        tmp = STATE_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "rtf": STATE["rtf"],
+                    "extras": STATE["extras"],
+                },
+                f,
+            )
+        os.replace(tmp, STATE_FILE)
+    except Exception:
+        pass  # the state file is a best-effort safety net
+
+
+def _install_watchdog(deadline_s: float) -> None:
+    def run():
+        time.sleep(max(deadline_s - (time.perf_counter() - T_START), 1.0))
+        phase = STATE["phase"]
+        progress(f"WATCHDOG: internal deadline {deadline_s:.0f}s tripped")
+        STATE["phase"] = phase
+        emit("watchdog_deadline")
+        # os._exit works from a non-main thread even when the main thread
+        # is blocked in native code (jax compile) — the r4 failure mode.
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
+
+def _install_signal_handlers() -> None:
+    def handler(signum, frame):
+        phase = STATE["phase"]
+        progress(f"signal {signum} received")
+        STATE["phase"] = phase
+        emit(f"signal_{signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):
+            pass
 
 
 def differential_time(run, base_key, n_small=2, n_large=12, repeats=5):
@@ -68,32 +208,69 @@ def differential_time(run, base_key, n_small=2, n_large=12, repeats=5):
     return diffs[len(diffs) // 2] / (n_large - n_small), out
 
 
+def probe_compile_queue(max_wait_s: float = 480.0) -> None:
+    """Detect a starved remote compile queue BEFORE the headline compile.
+
+    With PALLAS_AXON_REMOTE_COMPILE=1 every fresh compile is a remote
+    queue job; a poisoned queue (r4: a killed eager init left hundreds of
+    per-op jobs draining) starves new compiles for many minutes while
+    already-cached programs still run. The probe times a jit of a FRESH
+    shape (derived from wall-clock, so never in the persistent cache). If
+    it stalls, wait and re-probe with progress instead of submitting the
+    multi-minute headline compile behind the jam."""
+    t_end = time.perf_counter() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        # unique-per-attempt shape -> guaranteed fresh compile request
+        n = 8 * (131 + (int(time.time()) + attempt) % 97)
+        x = jnp.ones((n, 128), jnp.float32)
+        t0 = time.perf_counter()
+        try:
+            f = jax.jit(lambda a: jnp.sum(a @ a.T))
+            float(f(x))
+        except Exception as e:
+            progress(f"compile probe error (non-fatal): {type(e).__name__}: {e}")
+            return
+        dt = time.perf_counter() - t0
+        if dt < 45.0:
+            if attempt > 1:
+                progress(f"compile queue recovered (probe {dt:.1f}s)")
+            STATE["extras"]["compile_probe_s"] = round(dt, 1)
+            return
+        progress(
+            f"compile queue STARVED: fresh tiny compile took {dt:.1f}s "
+            f"(attempt {attempt}); waiting for the queue to drain"
+        )
+        if time.perf_counter() > t_end:
+            progress("compile-queue wait budget spent; proceeding anyway")
+            STATE["extras"]["compile_queue_starved"] = True
+            return
+        time.sleep(20.0)
+
+
 def main():
     from arttts_tpu.core.runtime import setup_runtime
 
     setup_runtime()  # persistent compile cache: cold ~9 min, warm ~2 min
-    t_bench_start = time.perf_counter()
-    # Wall-clock guard: extras are skipped (headline still prints) once the
-    # budget is spent, so a driver-side timeout can't kill the run mid-extra
-    # before the JSON line is emitted.
-    budget_s = float(os.environ.get("ARTTTS_BENCH_BUDGET_S", "2400"))
+
+    deadline_s = float(os.environ.get("ARTTTS_BENCH_DEADLINE_S", "1500"))
+    _install_watchdog(deadline_s)
+    # scenario budget: stop starting new scenarios well before the watchdog
+    budget_s = float(
+        os.environ.get("ARTTTS_BENCH_BUDGET_S", str(max(deadline_s - 180, 60)))
+    )
 
     def over_budget() -> bool:
-        return time.perf_counter() - t_bench_start > budget_s
+        return time.perf_counter() - T_START > budget_s
 
-    def progress(msg: str) -> None:
-        # stderr timeline so a killed run shows where time went (the JSON
-        # contract owns stdout)
-        print(
-            f"[bench +{time.perf_counter() - t_bench_start:7.1f}s] {msg}",
-            file=sys.stderr,
-            flush=True,
-        )
     from arttts_tpu.core.config import get_preset
     from arttts_tpu.infer.sampler import frame_bucket, synthesize_to_wav
     from arttts_tpu.models.hifigan import HiFiGANGenerator
     from arttts_tpu.models.tts import GradTTSModel
     from arttts_tpu.ops.shape import fix_len_compatibility
+
+    extras = STATE["extras"]
 
     cfg = get_preset("v2")
     model = GradTTSModel(config=cfg.model)
@@ -112,6 +289,9 @@ def main():
     y_init = jnp.asarray(
         rng.standard_normal((B, 64, cfg.model.n_feats)).astype(np.float32)
     )
+    progress("compile-queue probe")
+    probe_compile_queue()
+    progress("model init (jitted)")
     variables = jax.jit(model.init)(
         {"params": key, "dropout": key},
         x,
@@ -129,12 +309,7 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((B, MAX_FRAMES, 80), jnp.float32)
     )
 
-    # ---------------- scenario 1: headline pinned-duration RTF -------------
-    # Crash-proof (BENCH_r02 postmortem): if the Pallas-MRF serving program
-    # fails to compile, fall back to the XLA vocoder path via the
-    # ARTTTS_DISABLE_MRF_PALLAS kill switch so the headline always records.
-    extras = {}
-    progress("init done; scenario 1 (headline) compile")
+    base_key = jax.random.PRNGKey(1)
 
     def make_run(synth):
         def run(k):
@@ -147,30 +322,12 @@ def main():
 
         return run
 
-    base_key = jax.random.PRNGKey(1)
-    synth = synthesize_to_wav
-    run = make_run(synth)
-    import arttts_tpu.ops.upsample_pallas as _ups
-
-    extras["gates"] = {
-        "packed_chain": _ups.ENABLE_PACKED_CHAIN,
-        "mrf_bf16": os.environ.get("ARTTTS_MRF_BF16", "0") not in ("", "0"),
-        "mrf_tile": os.environ.get("ARTTTS_MRF_TILE", "auto"),
-    }
-    try:
-        out = run(base_key)
-        float(jnp.sum(out[0]))  # compile + full device sync
-        extras["vocoder_path"] = (
-            "pallas_mrf" if jax.default_backend() != "cpu"
-            and not os.environ.get("ARTTTS_DISABLE_MRF_PALLAS") else "xla"
-        )
-    except Exception:
-        traceback.print_exc()
-        os.environ["ARTTTS_DISABLE_MRF_PALLAS"] = "1"
-        # fresh jit so the fallback re-traces with the kill switch applied
+    def fresh_xla_jit():
+        # fresh jit wrapper: the module-level jitted synthesize_to_wav
+        # caches on arg signature only, not env kill switches
         import functools as _ft
 
-        synth = _ft.partial(
+        return _ft.partial(
             jax.jit(
                 synthesize_to_wav.__wrapped__,
                 static_argnames=(
@@ -179,60 +336,130 @@ def main():
                 ),
             )
         )
-        run = make_run(synth)
-        out = run(base_key)
-        float(jnp.sum(out[0]))
-        extras["vocoder_path"] = "xla_fallback_after_pallas_failure"
-    progress("scenario 1 compiled; timing")
-    elapsed, out = differential_time(run, base_key)
-    frames = int(np.asarray(out[1]).max())
-    audio_seconds = frames * 256 / 22050.0
-    rtf = elapsed / audio_seconds
 
-    # ---------------- MFU / HBM utilization (scenario-1 program) -----------
+    import arttts_tpu.ops.upsample_pallas as _ups
+
+    extras["gates"] = {
+        "packed_chain": _ups.ENABLE_PACKED_CHAIN,
+        "mrf_bf16": os.environ.get("ARTTTS_MRF_BF16", "0") not in ("", "0"),
+        "mrf_tile": os.environ.get("ARTTTS_MRF_TILE", "auto"),
+    }
+
+    # -------- scenario 1a: PROVISIONAL headline on the pure-XLA path -------
+    # Cheap insurance: compile the kill-switched fallback first (cached,
+    # no Pallas) so a headline exists before the Pallas compile is even
+    # attempted; its compiled program doubles as the model-FLOPs oracle.
+    frames = MAX_FRAMES
+    audio_seconds = MAX_FRAMES * 256 / 22050.0
+    model_flops = 0.0
+    env_keys = ("ARTTTS_DISABLE_UNET_PALLAS", "ARTTTS_DISABLE_MRF_PALLAS")
+    if os.environ.get("ARTTTS_BENCH_SAFE_HEADLINE", "1") not in ("", "0"):
+        try:
+            progress("scenario 1a (provisional XLA headline) compile")
+            saved_env = {k: os.environ.get(k) for k in env_keys}
+            try:
+                for k in env_keys:
+                    os.environ[k] = "1"
+                run_xla = make_run(fresh_xla_jit())
+                out = run_xla(base_key)
+                float(jnp.sum(out[0]))  # compile + full device sync
+                progress("scenario 1a compiled; quick timing")
+                elapsed_p, out = differential_time(
+                    run_xla, base_key, n_small=1, n_large=5, repeats=3
+                )
+                frames = int(np.asarray(out[1]).max())
+                audio_seconds = frames * 256 / 22050.0
+                STATE["rtf"] = elapsed_p / audio_seconds
+                extras["xla_fallback_rtf"] = round(STATE["rtf"], 5)
+                extras["headline_path"] = "xla_fallback_provisional"
+                _save_state_file()
+                try:
+                    cost2 = jax.jit(
+                        synthesize_to_wav.__wrapped__,
+                        static_argnames=(
+                            "model", "vocoder", "n_timesteps", "max_frames",
+                            "stoc", "solver",
+                        ),
+                    ).lower(
+                        model, variables, vocoder, voc_vars, base_key, x,
+                        x_lengths, n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
+                        x_durations=durations,
+                    ).compile().cost_analysis()
+                    if isinstance(cost2, list):
+                        cost2 = cost2[0]
+                    model_flops = float(cost2.get("flops", 0.0))
+                    if model_flops > 0:
+                        extras["model_tflop_per_utt"] = round(
+                            model_flops / 1e12, 3
+                        )
+                except Exception:
+                    traceback.print_exc()
+            finally:
+                for k, v in saved_env.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        except Exception as e:
+            traceback.print_exc()
+            extras["provisional_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # -------- scenario 1: headline pinned-duration RTF (Pallas path) -------
+    progress("scenario 1 (headline, pallas path) compile")
+    synth = synthesize_to_wav
+    run = make_run(synth)
     try:
-        lowered = jax.jit(
-            synthesize_to_wav,
-            static_argnames=("model", "vocoder", "n_timesteps", "max_frames",
-                             "stoc"),
-        ).lower(
-            model, variables, vocoder, voc_vars, base_key, x, x_lengths,
-            n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=durations,
+        out = run(base_key)
+        float(jnp.sum(out[0]))  # compile + full device sync
+        extras["vocoder_path"] = (
+            "pallas_mrf" if jax.default_backend() != "cpu"
+            and not os.environ.get("ARTTTS_DISABLE_MRF_PALLAS") else "xla"
         )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        bytes_acc = float(cost.get("bytes accessed", 0.0))
-        # NOTE: XLA's cost_analysis does not see inside pallas custom calls,
-        # so these figures under-count the (Pallas) vocoder MRF stages —
-        # they reflect the XLA-lowered portion of the program only.
-        if flops > 0:
-            extras["mfu_xla_ops"] = round(flops / elapsed / V5E_PEAK_FLOPS, 4)
-            extras["tflops_xla_ops"] = round(flops / elapsed / 1e12, 2)
-        if bytes_acc > 0:
-            extras["hbm_util_xla_ops"] = round(bytes_acc / elapsed / V5E_PEAK_HBM, 4)
-            extras["hbm_gbs_xla_ops"] = round(bytes_acc / elapsed / 1e9, 1)
-        if flops > 0 or bytes_acc > 0:
-            extras["mfu_note"] = (
-                "XLA-lowered ops only; Pallas custom calls are not counted"
-            )
-    except Exception:
-        pass  # cost_analysis is advisory; never fail the bench on it
+        progress("scenario 1 compiled; timing")
+        elapsed, out = differential_time(run, base_key)
+        frames = int(np.asarray(out[1]).max())
+        audio_seconds = frames * 256 / 22050.0
+        rtf = elapsed / audio_seconds
+        if STATE["rtf"] is None or rtf < STATE["rtf"]:
+            STATE["rtf"] = rtf
+            extras["headline_path"] = extras.get("vocoder_path", "pallas")
+        else:
+            extras["pallas_headline_rtf"] = round(rtf, 5)
+        _save_state_file()
+    except Exception as e:
+        traceback.print_exc()
+        extras["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+        if STATE["rtf"] is None:
+            # BENCH_r02 postmortem: Pallas compile failure must still
+            # produce a headline — force the XLA path
+            os.environ["ARTTTS_DISABLE_MRF_PALLAS"] = "1"
+            os.environ["ARTTTS_DISABLE_UNET_PALLAS"] = "1"
+            synth = fresh_xla_jit()
+            run = make_run(synth)
+            out = run(base_key)
+            float(jnp.sum(out[0]))
+            elapsed, out = differential_time(run, base_key)
+            frames = int(np.asarray(out[1]).max())
+            audio_seconds = frames * 256 / 22050.0
+            STATE["rtf"] = elapsed / audio_seconds
+            extras["headline_path"] = "xla_fallback_after_pallas_failure"
+            _save_state_file()
+        else:
+            elapsed = STATE["rtf"] * audio_seconds
+    rtf = STATE["rtf"]
 
-    # ---------------- whole-program MFU (r4: replaces mfu_xla_ops as the
-    # headline accounting; mfu_xla_ops stays as the XLA-only decomposition).
+    # ---------------- whole-program MFU (r4: headline accounting) ----------
     # (1) device-busy time per iteration comes from a profiler trace — the
     # profiler times every op that executes, Pallas custom calls included
-    # (utils/trace_analysis.py). (2) model FLOPs come from XLA's cost
-    # analysis of the SAME math lowered through the module path (kill
-    # switches force a Pallas-free trace); the optimized-program flop count
-    # is the analytic model cost since inference has no remat. mfu_total =
-    # model FLOPs / wall per-iter; mfu_device uses device-busy time only.
+    # (utils/trace_analysis.py). (2) model FLOPs come from the scenario-1a
+    # cost analysis (the Pallas-free lowering of the same math; the
+    # optimized-program flop count is the analytic model cost since
+    # inference has no remat). mfu_total = model FLOPs / wall per-iter;
+    # mfu_device uses device-busy time only.
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
-        progress("whole-program MFU (trace + module-path flops)")
+        progress("whole-program MFU (profiler trace)")
         import tempfile
 
         from arttts_tpu.utils.trace_analysis import device_busy_seconds
@@ -249,41 +476,14 @@ def main():
         busy_per_iter = device_busy_seconds(trace_dir) / n_tr
         extras["device_busy_ms"] = round(busy_per_iter * 1e3, 2)
         extras["device_busy_frac"] = round(busy_per_iter / elapsed, 3)
-
-        env_keys = ("ARTTTS_DISABLE_UNET_PALLAS", "ARTTTS_DISABLE_MRF_PALLAS")
-        saved_env = {k: os.environ.get(k) for k in env_keys}
-        try:
-            for k in env_keys:
-                os.environ[k] = "1"
-            xla_path = jax.jit(
-                synthesize_to_wav.__wrapped__,
-                static_argnames=(
-                    "model", "vocoder", "n_timesteps", "max_frames", "stoc",
-                    "solver",
-                ),
-            )
-            cost2 = xla_path.lower(
-                model, variables, vocoder, voc_vars, base_key, x, x_lengths,
-                n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
-                x_durations=durations,
-            ).compile().cost_analysis()
-            if isinstance(cost2, list):
-                cost2 = cost2[0]
-            model_flops = float(cost2.get("flops", 0.0))
-        finally:
-            for k, v in saved_env.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
         if model_flops > 0 and busy_per_iter > 0:
-            extras["model_tflop_per_utt"] = round(model_flops / 1e12, 3)
             extras["mfu_total"] = round(
                 model_flops / elapsed / V5E_PEAK_FLOPS, 4
             )
             extras["mfu_device"] = round(
                 model_flops / busy_per_iter / V5E_PEAK_FLOPS, 4
             )
+        _save_state_file()
     except Exception as e:
         traceback.print_exc()
         extras["mfu_total_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -305,7 +505,7 @@ def main():
 
         _, _, _, pred0 = encode_text(model, variables, x, x_lengths)
         pred = int(np.ceil(float(jnp.max(pred0))))
-        bucket = frame_bucket(fix_len_compatibility(pred))
+        bucket = frame_bucket(fix_len_compatibility(max(pred, 4)))
 
         def run_serving(k):
             mu_x, logw, x_mask, _ = encode_text(model, variables, x, x_lengths)
@@ -321,6 +521,7 @@ def main():
         extras["serving_rtf"] = round(elapsed_s / (frames_s * 256 / 22050.0), 5)
         extras["serving_bucket"] = bucket
         extras["serving_frames"] = frames_s
+        _save_state_file()
 
         # same real-request path on the quality-gated DPM-Solver++(2M)
         # fast path. The gated operating point is 15 evals (r4,
@@ -351,15 +552,29 @@ def main():
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
-        progress("scenario 3 (batched B=8)")
+        progress("scenario 3 (batched B=8, masked_norm)")
+        import dataclasses as _dc
+
         B8 = 8
         x8 = jnp.tile(x, (B8, 1))
         xl8 = jnp.tile(x_lengths, (B8,))
         dur8 = jnp.tile(durations, (B8, 1))
+        # padding-exact batched serving is the DEFAULT config (VERDICT r4
+        # #6): masked GroupNorm statistics make padded batch members equal
+        # per-sentence synthesis; same trained variables apply
+        # (masked_norm is computation-only). This is the configuration
+        # run_acoustic_inference_batched auto-enables.
+        model_mn = GradTTSModel(
+            config=_dc.replace(
+                cfg.model,
+                decoder=_dc.replace(cfg.model.decoder, masked_norm=True),
+            )
+        )
+        extras["batched_masked_norm"] = True
 
         def run_b8(k):
             return synth(
-                model, variables, vocoder, voc_vars, k, x8, xl8,
+                model_mn, variables, vocoder, voc_vars, k, x8, xl8,
                 n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=dur8,
             )
 
@@ -379,6 +594,7 @@ def main():
         # per-utt latency regresses ~21% on the U-Net and batching is a
         # throughput knob only via more chips, not via larger B.
         extras["batched_utt_per_s"] = round(B8 / elapsed8, 2)
+        _save_state_file()
     except Exception as e:
         traceback.print_exc()
         extras["batched_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -487,6 +703,7 @@ def main():
             extras["train_mfu"] = round(
                 flops_t / elapsed_t / V5E_PEAK_FLOPS, 4
             )
+        _save_state_file()
         # K-step scan trainer (train/step.py:make_train_multistep): one
         # launch per K steps removes the per-dispatch host gap the r4
         # trace exposed (13.2 ms wall vs ~5.6 ms device busy single-step).
@@ -519,6 +736,7 @@ def main():
                 extras["train_mfu_multistep"] = round(
                     flops_t / per_step_m / V5E_PEAK_FLOPS, 4
                 )
+            _save_state_file()
         except Exception as e:
             traceback.print_exc()
             extras["train_multistep_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -639,10 +857,8 @@ def main():
     # bucket-quantization luck.  Same compiled encoder program (static
     # (1, 96) tokens, shorter x_lengths); the lower predicted duration
     # lands in a smaller frame bucket, exercising the short-T decode path
-    # where per-step fixed costs dominate.  Buckets below 256 fall back to
-    # the MODULE U-Net path (`unet2d_fast_supported` needs T % 256 == 0),
-    # so this also covers the fallback decode.  Runs LAST: the short-T
-    # compile is new this round and must not starve earlier scenarios.
+    # where per-step fixed costs dominate.  Runs LAST: the short-T
+    # compile is new and must not starve earlier scenarios.
     try:
         if over_budget():
             raise TimeoutError("bench budget spent")
@@ -653,8 +869,25 @@ def main():
 
         xl_short = jnp.array([64] * B, dtype=jnp.int32)
         _, _, _, preds0 = encode_text(model, variables, x, xl_short)
+        # clamp exactly like serve_text_to_wav (ADVICE r4): pred >= 4,
+        # capped, bucketized
         pred_s = int(np.ceil(float(jnp.max(preds0))))
-        bucket_s = frame_bucket(fix_len_compatibility(pred_s))
+        bucket_s = frame_bucket(
+            min(fix_len_compatibility(max(pred_s, 4)), 2048)
+        )
+        main_bucket = extras.get("serving_bucket")
+        if main_bucket is not None and bucket_s == main_bucket:
+            # random-init durations landed both protocols in the same
+            # bucket — this would NOT be a distinct bucket point (ADVICE
+            # r4); force the next bucket down so the short-T decode path
+            # is actually exercised.
+            buckets = (128, 256, 384, 512, 768, 1024)
+            smaller = [b for b in buckets if b < main_bucket]
+            bucket_s = smaller[-1] if smaller else main_bucket
+            extras["serving_short_note"] = (
+                f"predicted bucket equals main ({main_bucket}); "
+                f"forced next-smaller bucket {bucket_s}"
+            )
 
         def run_serving_short(k):
             mu_x, logw, x_mask, _ = encode_text(model, variables, x, xl_short)
@@ -674,23 +907,21 @@ def main():
         )
         extras["serving_short_bucket"] = bucket_s
         extras["serving_short_frames"] = frames_ss
+        _save_state_file()
     except Exception as e:
         traceback.print_exc()
         extras["serving_short_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    target = 0.02
-    print(
-        json.dumps(
-            {
-                "metric": "text2wav_rtf_50step",
-                "value": round(rtf, 5),
-                "unit": "rtf_per_chip",
-                "vs_baseline": round(target / rtf, 3),
-                "extras": extras,
-            }
-        )
-    )
-
 
 if __name__ == "__main__":
-    main()
+    _install_signal_handlers()
+    reason = "complete"
+    try:
+        main()
+    except BaseException as e:
+        traceback.print_exc()
+        STATE["extras"]["uncaught"] = f"{type(e).__name__}: {e}"[:200]
+        reason = "uncaught_exception"
+    finally:
+        _save_state_file()
+        emit(reason)

@@ -1,0 +1,149 @@
+"""Hardware validation for the r5 wide mid-boundary kernels + SP compile.
+
+1. Compiles the fast U-Net score with ARTTTS_UNET_MID_KERNELS on/off on
+   the REAL backend and checks numeric agreement (the r3 lesson: interpret
+   mode cannot catch Mosaic lowering failures — always compile new kernel
+   formulations on hardware before gating them into serving).
+2. Times the 50-step loop both ways (B=1 and B=8).
+3. Compiles the shard_map SP fast path on a mesh=(1,) over the real chip
+   (VERDICT r4 #7) and checks it against the local fast path.
+
+Usage: python scripts/check_mid_kernels.py [--skip-sp] [--skip-b8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_loop(run, *args, n1=2, n2=8, reps=5):
+    def timed(n):
+        float(jnp.sum(run(*args)))
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = run(*args)
+        float(jnp.sum(o))
+        return time.perf_counter() - t0
+
+    timed(2)
+    diffs = sorted(timed(n2) - timed(n1) for _ in range(reps))
+    return diffs[reps // 2] / (n2 - n1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-sp", action="store_true")
+    p.add_argument("--skip-b8", action="store_true")
+    p.add_argument("--steps", type=int, default=50)
+    args = p.parse_args()
+
+    from arttts_tpu.core.config import get_preset
+    from arttts_tpu.core.runtime import setup_runtime
+    from arttts_tpu.models.tts import GradTTSModel
+    from arttts_tpu.models.unet2d_fast import make_score_fn
+
+    setup_runtime()
+    cfg = get_preset("v2")
+    model = GradTTSModel(config=cfg.model)
+    T, F = 768, cfg.model.n_feats
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.integers(1, cfg.model.encoder.n_vocab, size=(1, 24)))
+    xl = jnp.array([24], jnp.int32)
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": key}, x, xl,
+        jnp.zeros((1, 64, F)), jnp.ones((1, 64, 1)), jnp.zeros((1,)),
+    )
+
+    def data(B):
+        r = np.random.default_rng(1)
+        mu = jnp.asarray(r.standard_normal((B, T, F)).astype(np.float32))
+        xt = jnp.asarray(r.standard_normal((B, T, F)).astype(np.float32))
+        mask = jnp.ones((B, T, 1), jnp.float32)
+        t = jnp.full((B,), 0.4, jnp.float32)
+        return xt, mask, mu, t
+
+    # ---- 1. single-eval numeric check, mid kernels on vs off -------------
+    for B in (1,) if args.skip_b8 else (1, 8):
+        xt, mask, mu, t = data(B)
+        outs = {}
+        for flag in ("1", "0"):
+            os.environ["ARTTTS_UNET_MID_KERNELS"] = flag
+            score = make_score_fn(model, variables, T=T)
+            f = jax.jit(lambda a, m_, c, tt: score(a, m_, c, tt, None))
+            t0 = time.perf_counter()
+            o = f(xt, mask, mu, t)
+            s = float(jnp.sum(o))
+            print(
+                f"B={B} mid={flag}: compile+run {time.perf_counter()-t0:.1f}s "
+                f"sum={s:.6f}", flush=True,
+            )
+            outs[flag] = np.asarray(o)
+        err = np.abs(outs["1"] - outs["0"]).max()
+        rel = err / max(np.abs(outs["0"]).max(), 1e-9)
+        print(f"B={B} mid-kernel max abs err {err:.3e} (rel {rel:.3e})",
+              flush=True)
+        assert rel < 5e-3, "mid kernels diverge on hardware"
+
+    # ---- 2. 50-step loop timing both ways --------------------------------
+    from arttts_tpu.infer.sampler import reverse_diffusion
+
+    for B in (1,) if args.skip_b8 else (1, 8):
+        xt, mask, mu, t = data(B)
+        z = xt
+        for flag in ("0", "1"):
+            os.environ["ARTTTS_UNET_MID_KERNELS"] = flag
+            run = jax.jit(
+                lambda v, z_, m_, mu_: reverse_diffusion(
+                    model, v, z_, m_, mu_, args.steps
+                )
+            )
+            per = timed_loop(run, variables, z, mask, mu,
+                             n2=8 if B == 1 else 4)
+            print(
+                f"B={B} mid={flag}: {args.steps}-step loop "
+                f"{per*1e3:.2f} ms ({per*1e3/B:.2f} ms/utt)", flush=True,
+            )
+    os.environ["ARTTTS_UNET_MID_KERNELS"] = "1"
+
+    # ---- 3. SP fast path: mesh=(1,) compile on the real backend ----------
+    if not args.skip_sp:
+        from jax.sharding import Mesh
+
+        from arttts_tpu.models.unet2d_sp import (
+            make_sp_score_fn, unet2d_sp_supported,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("model",))
+        assert unet2d_sp_supported(cfg.model, T, 1)
+        score_sp = make_sp_score_fn(model, variables, T, mesh)
+        xt, mask, mu, t = data(1)
+        t0 = time.perf_counter()
+        o_sp = score_sp(xt, mask, mu, t, None)
+        s = float(jnp.sum(o_sp))
+        print(
+            f"SP mesh=(1,): compile+run {time.perf_counter()-t0:.1f}s "
+            f"sum={s:.6f}", flush=True,
+        )
+        os.environ["ARTTTS_UNET_MID_KERNELS"] = "0"
+        score = make_score_fn(model, variables, T=T)
+        f = jax.jit(lambda a, m_, c, tt: score(a, m_, c, tt, None))
+        o_ref = np.asarray(f(xt, mask, mu, t))
+        os.environ["ARTTTS_UNET_MID_KERNELS"] = "1"
+        rel = np.abs(np.asarray(o_sp) - o_ref).max() / max(
+            np.abs(o_ref).max(), 1e-9
+        )
+        print(f"SP vs fast path rel err {rel:.3e}", flush=True)
+        assert rel < 5e-3
+
+
+if __name__ == "__main__":
+    main()

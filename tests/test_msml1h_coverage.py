@@ -73,6 +73,44 @@ REPRESENTATIVE_PHONES = {
 }
 
 
+# r5 long-tail tranche: segments the r4 table could NOT parse — NFC
+# precomposed nasal vowels, prenasalization prefixes (Bantu), click
+# accompaniments, tone accents, rare consonants, stress marks.
+LONG_TAIL_PHONES = {
+    "pt": ["ĩ", "ũ", "ẽ", "õ", "ɐ̃w̃", "ɐ̃j̃"],       # NFC nasal vowels + diphthongs
+    "rw": ["ᵐb", "ⁿd", "ᵑɡ", "ᶮd͡ʒ", "ŋ̍"],           # prenasalization, syllabic velar
+    "sw": ["ᵐb", "ⁿd", "ᵑɡ", "ɓ", "ɗ"],
+    "yo": ["á", "à", "ɔ́", "ɛ̀", "ŋ́", "k͡p", "ɡ͡b"],  # tone accents
+    "ha": ["ʉ̀", " â", "ǎ"],
+    "sv-SE": ["ɧ", "ʉ̟", "ä"],                        # sj-sound, centralized
+    "cs": ["r̝", "ɺ"],
+    "ar": ["ʡ", "ʜ", "ʢ", "dˤ", "sˤ", "tˤ"],          # epiglottals, emphatics
+    "de": ["ʙ", "p͡f", "ˈa", "ˌa"],
+    "nan-tw": ["ᵏǃ", "ⱱ", "y̑", "ʚ"],                 # rare/accompanied
+}
+
+
+def test_long_tail_phones_parse():
+    """Every r5 long-tail segment parses to a non-None trait matrix."""
+    failed = [
+        (lang, ph)
+        for lang, phones in LONG_TAIL_PHONES.items()
+        for ph in phones
+        if word_features(ph) is None
+    ]
+    assert not failed, f"long-tail phones unparseable: {failed}"
+
+
+def test_nfc_nfd_equivalence():
+    """Precomposed (NFC) and decomposed (NFD) spellings featurize alike."""
+    import unicodedata
+
+    for ph in ["ĩ", "ũ", "ẽ", "õ", "ä", "á", "à"]:
+        nfd = unicodedata.normalize("NFD", ph)
+        assert nfd != ph  # the pair is a real normalization difference
+        np.testing.assert_array_equal(word_features(ph), word_features(nfd))
+
+
 def test_msml1h_languages_in_map():
     """Every msml1h language code resolves in the LANGUAGES map."""
     missing = [c for c in MSML1H_LANG_CODES if c not in LANGUAGES]
