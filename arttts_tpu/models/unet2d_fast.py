@@ -535,7 +535,12 @@ def make_score_fn(
     fuse_attn = os.environ.get("ARTTTS_UNET_FUSED_ATTN", "1") not in (
         "", "0"
     )
-    mid_kernels = os.environ.get("ARTTTS_UNET_MID_KERNELS", "1") not in (
+    # Default OFF (r5 hardware A/B): the wide mid-boundary kernels measure
+    # a wash at B=1 (94.68 vs 94.47 ms/50-step) and a 4% LOSS at B=8
+    # (119.24 vs 114.73 ms/utt) — the host-side plane interleave +
+    # strided pre-splits cost as much as the unpad/pad copies they
+    # replace.  Kept as an A/B lever; see CLAUDE.md "B=8 boundary" note.
+    mid_kernels = os.environ.get("ARTTTS_UNET_MID_KERNELS", "0") not in (
         "", "0"
     )
 

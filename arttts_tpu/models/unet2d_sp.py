@@ -590,6 +590,8 @@ def make_sp_score_fn(model, variables, T: int, mesh, axis: str = "model"):
                 cfg, est_params, xt, mask, mu, t, emb, n, axis
             )
 
+        fn = jax.jit(fn)  # see the jit note on the single-speaker return
+
         def score(xt, mask, mu, t, spk):
             emb = model.apply(variables, spk, method="embed_speaker")
             return fn(xt, mask, mu, t, emb)
@@ -604,4 +606,11 @@ def make_sp_score_fn(model, variables, T: int, mesh, axis: str = "model"):
     def fn(xt, mask, mu, t):
         return score2d_sp(cfg, est_params, xt, mask, mu, t, None, n, axis)
 
+    # jit the shard_map: inside the jitted samplers this is a no-op, but a
+    # DIRECT eager call would otherwise execute the whole U-Net op-by-op —
+    # with PALLAS_AXON_REMOTE_COMPILE=1 that floods the remote compile
+    # queue with hundreds of per-op jobs (r5 incident: a mesh=(1,)
+    # hardware check called it bare and starved the queue for 40 min,
+    # exactly the r4 eager-init trap; CLAUDE.md "Environment gotchas").
+    fn = jax.jit(fn)
     return lambda xt, mask, mu, t, spk: fn(xt, mask, mu, t)

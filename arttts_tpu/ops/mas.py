@@ -170,6 +170,15 @@ def maximum_path(
             "scan" if jax.default_backend() == "cpu" else "pallas"
         )
     if backend == "pallas":
+        # the kernel keeps ~4 whole (T_y, B, T_x) f32 buffers in VMEM;
+        # beyond the ~100 MiB ceiling (v5e physical probed >= 96 MiB) the
+        # compile cannot fit — route huge batch x length products to the
+        # portable scan instead of failing (r5: v1 recipe at B=32 needed
+        # 24 MiB > the 16 MiB default; B=64-scale would exceed physical)
+        B, T_x, T_y = value.shape
+        if 4 * B * T_x * T_y * 4 + (8 << 20) > (100 << 20):
+            backend = "scan"
+    if backend == "pallas":
         from arttts_tpu.ops.mas_pallas import mas_pallas
 
         interpret = jax.default_backend() == "cpu"

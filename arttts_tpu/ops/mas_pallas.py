@@ -116,6 +116,18 @@ def _mas_pallas_impl(value, t_xs, t_ys, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_y_p, B, T_x), jnp.float32),
         scratch_shapes=[pltpu.VMEM((T_y_p, B, T_x), jnp.float32)],
+        # The kernel keeps input + decision scratch + output (3 whole
+        # (T_y, B, T_x) f32 buffers) resident; the default 16 MiB scoped
+        # limit caps that at B*T_x*T_y ~ 1.4M elements and the v1 recipe
+        # at B=32 (768x32x192 = 4.7M) failed compile (r5 sweep). v5e
+        # physical VMEM was probed >= 96 MiB (CLAUDE.md, MRF C=256 note);
+        # size the limit to the actual need, capped under that.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(4 * T_y_p * B * T_x * 4 + (8 << 20), 16 << 20),
+                100 << 20,
+            )
+        ),
         interpret=interpret,
     )(
         value_t,

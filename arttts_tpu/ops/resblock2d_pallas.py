@@ -407,6 +407,7 @@ def _resblock_kernel(
     lanes: int = LANES,
     real64: bool = False,
     attn_n_par: int = 0,
+    db: bool = False,
 ):
     # ---- unpack refs (order mirrors the pallas_call operand list) -------
     pos = 0
@@ -432,7 +433,9 @@ def _resblock_kernel(
         wp_a = list(refs[pos : pos + attn_n_par]); pos += attn_n_par
         bp_a = refs[pos]; pos += 1
     out_hbm = refs[pos]; pos += 1
-    xss = list(refs[pos : pos + n_in]); pos += n_in  # tile scratches
+    n_x = 2 * n_in if db else n_in  # double-buffered input tile scratches
+    xss_all = list(refs[pos : pos + n_x]); pos += n_x
+    xss = xss_all[::2] if db else xss_all  # slot-0 view (non-db: the only)
     h1_scr = refs[pos]; pos += 1        # (n_pairs, T + 2*PAD, 128)
     h2_scr = None
     if not block_only:
@@ -442,7 +445,8 @@ def _resblock_kernel(
     m_scr = s_scr = ct_scr = None
     if attn_n_par:
         m_scr, s_scr, ct_scr = refs[pos : pos + 3]; pos += 3
-    sems = list(refs[pos : pos + n_in]); pos += n_in
+    sems_all = list(refs[pos : pos + n_x]); pos += n_x
+    sems = sems_all[::2] if db else sems_all
     sem_out = refs[pos]
 
     b = pl.program_id(0)
@@ -505,14 +509,44 @@ def _resblock_kernel(
         for cp in cps:
             cp.wait()
 
+    # Double-buffered variant (ARTTTS_RB_DB, VERDICT r4 #3 experiment):
+    # tile i's program starts tile i+1's input DMA into the OTHER slot
+    # before computing, so the copy engines run behind the MXU/VPU instead
+    # of serializing ahead of each tile.  Slot refs must be static Python
+    # values, so the wait+compute body is emitted once per parity under
+    # pl.when(i % 2 == slot).
+    def _db_copy(j, slot, tstart):
+        return pltpu.make_async_copy(
+            x_hbms[j].at[b, :, pl.ds(tstart, L), :],
+            xss_all[2 * j + slot],
+            sems_all[2 * j + slot],
+        )
+
+    def db_phase(compute):
+        @pl.when(i == 0)
+        def _():
+            for j in range(n_in):
+                _db_copy(j, 0, t0).start()
+
+        for slot in (0, 1):
+
+            @pl.when((i % 2 == slot) & (i + 1 < n_tiles))
+            def _(slot=slot):
+                for j in range(n_in):
+                    _db_copy(j, 1 - slot, t0 + T_b).start()
+
+            @pl.when(i % 2 == slot)
+            def _(slot=slot):
+                for j in range(n_in):
+                    _db_copy(j, slot, t0).wait()
+                compute([xss_all[2 * j + slot] for j in range(n_in)])
+
     # ---------------- phase 0: conv1 + stats ----------------------------
-    @pl.when(ph == 0)
-    def _():
-        dma_inputs()
+    def phase0_compute(bufs):
         acc = None
         for j in range(n_in):
-            vj = valid if xss[j].shape[-1] == lanes else val(xss[j].shape[-1])
-            part = conv(xss[j][:] * vj, w1s[j])
+            vj = valid if bufs[j].shape[-1] == lanes else val(bufs[j].shape[-1])
+            part = conv(bufs[j][:] * vj, w1s[j])
             acc = part if acc is None else acc + part
         h1 = (acc + b1[:][None]) * valid
         interior = h1[:, PAD : T_b + PAD, :]
@@ -528,6 +562,14 @@ def _resblock_kernel(
         s11[:] += jnp.sum(interior, axis=(0, 1))[None]
         s21[:] += jnp.sum(interior * interior, axis=(0, 1))[None]
         h1_scr[:, pl.ds(t0 + PAD, T_b), :] = interior
+
+    @pl.when(ph == 0)
+    def _():
+        if db:
+            db_phase(phase0_compute)
+        else:
+            dma_inputs()
+            phase0_compute(xss)
 
     # ---------------- phase 1: GN1 + mish + temb + conv2 + stats --------
     @pl.when(ph == 1)
@@ -568,9 +610,7 @@ def _resblock_kernel(
     # ---------------- phase 2: GN2 + mish + residual + emit -------------
     if not block_only:
 
-        @pl.when(ph == 2)
-        def _():
-            dma_inputs()
+        def phase2_compute(bufs):
             h2w = h2_scr[:, pl.ds(t0, T_b), :]
             y = _normalize(
                 h2w, fold(s12[:]), fold(s22[:]),
@@ -579,14 +619,14 @@ def _resblock_kernel(
             vi = val_interior(lanes)
             y = _mish(y) * vi
             if identity_res:
-                res = xss[0][:, PAD : T_b + PAD, :] * vi
+                res = bufs[0][:, PAD : T_b + PAD, :] * vi
             else:
                 dt_ = jnp.bfloat16 if bf16 else jnp.float32
                 res = None
                 for j in range(n_in):
-                    cw = xss[j].shape[-1]
+                    cw = bufs[j].shape[-1]
                     vij = vi if cw == lanes else val_interior(cw)
-                    xi = xss[j][:, PAD : T_b + PAD, :] * vij
+                    xi = bufs[j][:, PAD : T_b + PAD, :] * vij
                     part = jax.lax.dot_general(
                         xi.astype(dt_), wres[j][:].astype(dt_),
                         (((2,), (0,)), ((), ())),
@@ -617,6 +657,14 @@ def _resblock_kernel(
                 @pl.when(i != 0)
                 def _():
                     m_scr[:] = jnp.maximum(m_scr[:], mt)
+
+        @pl.when(ph == 2)
+        def _():
+            if db:
+                db_phase(phase2_compute)
+            else:
+                dma_inputs()
+                phase2_compute(xss)
 
     # ---------------- phases 3/4: fused Rezero(LinearAttention2d) -------
     # Same math as models/unet2d_fast.py:_attn_packed/_attn_wide (module
@@ -894,8 +942,11 @@ def resblock2d_packed(
     T = Tp - 2 * PAD
     assert resblock2d_supported(T, n_pairs, n_in), (T, n_pairs, n_in)
     identity_res = c_in == C_HALF
-    T_b = _pick_tile(T, n_pairs, n_in)
+    db = _db_default(B)
+    db = db and resblock2d_supported(T, n_pairs, 2 * n_in)
+    T_b = _pick_tile(T, n_pairs, 2 * n_in if db else n_in)
     n_tiles = T // T_b
+    db = db and n_tiles > 1
     L = T_b + 2 * PAD
     attn_params = attn_params or ()
     attn_n_par = (len(attn_params) - 1) // 4 if attn_params else 0
@@ -913,6 +964,7 @@ def resblock2d_packed(
         eps=eps,
         bf16=bf16,
         attn_n_par=attn_n_par,
+        db=db,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -927,7 +979,8 @@ def resblock2d_packed(
     in_specs += [vec_spec] * (len(params) + len(attn_params))
 
     tile_f32 = pltpu.VMEM((n_pairs, L, LANES), jnp.float32)
-    scratch = [tile_f32] * n_in  # xss
+    n_x = 2 * n_in if db else n_in
+    scratch = [tile_f32] * n_x  # xss (2 slots per input when db)
     scratch.append(
         pltpu.VMEM((n_pairs, T + 2 * PAD, LANES), jnp.float32)
     )  # h1
@@ -941,7 +994,7 @@ def resblock2d_packed(
             pltpu.VMEM((1, LANES), jnp.float32),      # S
             pltpu.VMEM((LANES, LANES), jnp.float32),  # ct / ctx
         ]
-    scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
+    scratch += [pltpu.SemaphoreType.DMA] * (n_x + 1)
 
     return pl.pallas_call(
         kern,
@@ -970,6 +1023,18 @@ def resblock2d_packed(
 # Wide mode: C in {128, 256} with channels directly on lanes (no parity
 # packing — full-lane widths need none).  Same 3-phase fused ResnetBlock2d.
 # ---------------------------------------------------------------------------
+
+
+def _db_default(B: int) -> bool:
+    """Double-buffered input DMA (ARTTTS_RB_DB): measured r5 on v5e —
+    B=8 loop 108.50 vs 114.73 ms/utt (the 8x DMA volume overlaps behind
+    compute) but B=1 100.51 vs 94.47 (nothing to hide; the duplicated
+    parity branches cost). Default: on for batched inputs, off at B=1;
+    env forces either way ("1"/"0")."""
+    env = os.environ.get("ARTTTS_RB_DB", "")
+    if env != "":
+        return env != "0"
+    return B >= 2
 
 
 def pad_wide(x: jnp.ndarray) -> jnp.ndarray:
@@ -1069,8 +1134,11 @@ def resblock2d_wide(
     ), (T, H, n_in, c_out)
     lanes = 2 * C_HALF if real64 else c_out
     identity_res = c_chunks == (c_out,)
-    T_b = _pick_tile(T, H, n_in, lanes)
+    db = _db_default(B)
+    db = db and resblock2d_supported(T, H, 2 * n_in, lanes)
+    T_b = _pick_tile(T, H, 2 * n_in if db else n_in, lanes)
     n_tiles = T // T_b
+    db = db and n_tiles > 1
     L = T_b + 2 * PAD
     attn_params = attn_params or ()
     attn_n_par = (len(attn_params) - 1) // 4 if attn_params else 0
@@ -1091,6 +1159,7 @@ def resblock2d_wide(
         lanes=lanes,
         real64=real64,
         attn_n_par=attn_n_par,
+        db=db,
     )
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1102,9 +1171,11 @@ def resblock2d_wide(
     )  # temb row
     in_specs += [vec_spec] * (len(params) + len(attn_params))
 
-    scratch = [
-        pltpu.VMEM((H, L, x.shape[-1]), jnp.float32) for x in xs
-    ]  # xss
+    scratch = []
+    for x in xs:  # xss (2 slots per input when db, interleaved)
+        scratch += [pltpu.VMEM((H, L, x.shape[-1]), jnp.float32)] * (
+            2 if db else 1
+        )
     scratch.append(pltpu.VMEM((H, T + 2 * PAD, lanes), jnp.float32))  # h1
     scratch.append(pltpu.VMEM((H, T, lanes), jnp.float32))  # h2
     scratch += [pltpu.VMEM((1, lanes), jnp.float32)] * 4  # stats
@@ -1115,7 +1186,7 @@ def resblock2d_wide(
             pltpu.VMEM((1, LANES), jnp.float32),      # S
             pltpu.VMEM((LANES, LANES), jnp.float32),  # ct / ctx
         ]
-    scratch += [pltpu.SemaphoreType.DMA] * (n_in + 1)
+    scratch += [pltpu.SemaphoreType.DMA] * ((2 * n_in if db else n_in) + 1)
 
     return pl.pallas_call(
         kern,

@@ -740,6 +740,56 @@ def main():
         except Exception as e:
             traceback.print_exc()
             extras["train_multistep_error"] = f"{type(e).__name__}: {e}"[:200]
+        # scenario 6c: bf16 U-Net activations (decoder compute_dtype) at
+        # the K=8 multistep operating point — the r5 sweep's best arm
+        # (5.57 ms/step, MFU 0.1443 vs 6.00/0.1339 f32; scripts/
+        # sweep_train.py). Numerics gated by tests/test_train_bf16.py.
+        try:
+            if over_budget():
+                raise TimeoutError("bench budget spent")
+            progress("scenario 6c (bf16 multistep train)")
+            import dataclasses as _dc6
+
+            from arttts_tpu.train.step import make_train_multistep
+
+            m1b = GradTTSModel(
+                config=_dc6.replace(
+                    cfg1.model,
+                    decoder=_dc6.replace(
+                        cfg1.model.decoder, compute_dtype="bfloat16"
+                    ),
+                )
+            )
+            state_b = create_train_state(
+                m1b, v1vars, cfg1.train.learning_rate,
+                cfg1.train.grad_clip_norm,
+            )
+            K_b = 8
+            multi_b = make_train_multistep(
+                m1b, out_size=cfg1.train.out_size, n_steps=K_b, donate=False
+            )
+            batches_b = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * K_b), batch
+            )
+
+            def run_multi_b(k):
+                _, met = multi_b(state_b, k, batches_b)
+                return (met["total_loss"][-1],)
+
+            float(jnp.sum(run_multi_b(base_key)[0]))
+            elapsed_b, _ = differential_time(
+                run_multi_b, base_key, n_small=1, n_large=4, repeats=3
+            )
+            per_step_b = elapsed_b / K_b
+            extras["train_bf16_multistep8_ms"] = round(per_step_b * 1e3, 2)
+            if flops_t > 0:
+                extras["train_mfu_bf16"] = round(
+                    flops_t / per_step_b / V5E_PEAK_FLOPS, 4
+                )
+            _save_state_file()
+        except Exception as e:
+            traceback.print_exc()
+            extras["train_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
     except Exception as e:
         traceback.print_exc()
         extras["train_error"] = f"{type(e).__name__}: {e}"[:200]
