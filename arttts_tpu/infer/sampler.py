@@ -35,6 +35,7 @@ def reverse_diffusion(
     rng: Optional[jax.Array] = None,
     sharded: bool = False,
     mesh=None,
+    pallas: Optional[bool] = None,
 ):
     """Euler reverse-SDE/ODE sampler (diffusion.py:302-324).
 
@@ -44,7 +45,8 @@ def reverse_diffusion(
     h = 1.0 / n_timesteps
     B = z.shape[0]
     score_fn = make_score_fn(
-        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh,
+        pallas=pallas,
     )
 
     def body(i, xt):
@@ -75,6 +77,7 @@ def reverse_diffusion_heun(
     spk=None,
     sharded: bool = False,
     mesh=None,
+    pallas: Optional[bool] = None,
 ):
     """Second-order (Heun) probability-flow ODE sampler — an opt-in
     beyond-reference fast path: reaches the Euler sampler's solution with
@@ -88,7 +91,8 @@ def reverse_diffusion_heun(
     h = 1.0 / n_timesteps
     B = z.shape[0]
     score_fn = make_score_fn(
-        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh,
+        pallas=pallas,
     )
 
     def drift(xt, t_scalar):
@@ -118,6 +122,7 @@ def reverse_diffusion_dpm2m(
     t_end: float = 1e-2,
     sharded: bool = False,
     mesh=None,
+    pallas: Optional[bool] = None,
 ):
     """DPM-Solver++(2M) for the probability-flow ODE — a beyond-reference
     fast path: ONE score evaluation per step (multistep second order), so
@@ -179,7 +184,8 @@ def reverse_diffusion_dpm2m(
     )
 
     score_fn = make_score_fn(
-        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh
+        model, variables, T=z.shape[1], sharded=sharded, mesh=mesh,
+        pallas=pallas,
     )
 
     def score_x0(y, t_scalar, sig, alp):
@@ -221,7 +227,8 @@ def encode_text(model, variables, x, x_lengths, spk=None):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh"
+        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh",
+        "pallas",
     ),
 )
 def synthesize_from_encoding(
@@ -240,6 +247,7 @@ def synthesize_from_encoding(
     x_durations: Optional[jnp.ndarray] = None,
     solver: str = "euler",
     mesh=None,
+    pallas: Optional[bool] = None,
 ):
     """Diffusion decode from precomputed encoder outputs (`encode_text`):
     durations -> path -> mu_y -> z ~ N(mu_y, I/temperature) -> reverse
@@ -275,16 +283,19 @@ def synthesize_from_encoding(
         dec_out = reverse_diffusion_heun(
             model, variables, z, y_mask, mu_y, n_timesteps, spk,
             sharded=seq_sharded, mesh=mesh if seq_sharded else None,
+            pallas=pallas,
         )
     elif solver == "dpm":
         dec_out = reverse_diffusion_dpm2m(
             model, variables, z, y_mask, mu_y, n_timesteps, spk,
             sharded=seq_sharded, mesh=mesh if seq_sharded else None,
+            pallas=pallas,
         )
     else:
         dec_out = reverse_diffusion(
             model, variables, z, y_mask, mu_y, n_timesteps, stoc, spk,
             rng_stoc, sharded=seq_sharded, mesh=mesh if seq_sharded else None,
+            pallas=pallas,
         )
     return mu_y * y_mask, dec_out * y_mask, attn, y_lengths
 
@@ -292,7 +303,8 @@ def synthesize_from_encoding(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh"
+        "model", "n_timesteps", "max_frames", "stoc", "solver", "mesh",
+        "pallas",
     ),
 )
 def synthesize(
@@ -310,6 +322,7 @@ def synthesize(
     x_durations: Optional[jnp.ndarray] = None,
     solver: str = "euler",
     mesh=None,
+    pallas: Optional[bool] = None,
 ):
     """Text -> (encoder_outputs, decoder_outputs, attn, y_lengths).
 
@@ -346,13 +359,15 @@ def synthesize(
         x_durations=x_durations,
         solver=solver,
         mesh=mesh,
+        pallas=pallas,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver"
+        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver",
+        "pallas",
     ),
 )
 def synthesize_to_wav(
@@ -370,10 +385,20 @@ def synthesize_to_wav(
     spk=None,
     x_durations=None,
     solver: str = "euler",
+    pallas: Optional[bool] = None,
 ):
     """End-to-end text -> waveform in ONE jitted program (acoustic sampler +
     vocoder). One device dispatch per utterance/batch — the full serving
-    path. Returns (wav (B, max_frames*hop, 1), y_lengths)."""
+    path. Returns (wav (B, max_frames*hop, 1), y_lengths).
+
+    `pallas` (STATIC, default None = auto from backend + env kill
+    switches) selects the fused-kernel vs XLA formulation for BOTH the
+    U-Net body and the vocoder MRF stages. It must be a static jit arg —
+    an env-var gate read at trace time does NOT invalidate jit caches, and
+    two `jax.jit` wrappers of the same function share the C++ jit cache by
+    function identity: the r5 bench's env-switched "fresh jit" XLA
+    fallback was silently REUSED as the Pallas headline executable
+    (126.6 ms vs the real 106.9) for two rounds of measurements."""
     enc, dec, attn, y_lengths = synthesize(
         model,
         variables,
@@ -387,11 +412,12 @@ def synthesize_to_wav(
         spk=spk,
         x_durations=x_durations,
         solver=solver,
+        pallas=pallas,
     )
-    return _vocode(vocoder, vocoder_variables, dec), y_lengths
+    return _vocode(vocoder, vocoder_variables, dec, pallas), y_lengths
 
 
-def _vocode(vocoder, vocoder_variables, dec):
+def _vocode(vocoder, vocoder_variables, dec, pallas: Optional[bool] = None):
     from arttts_tpu.models.hifigan import HiFiGANGenerator, hifigan_forward_fast
     from arttts_tpu.ops.mrf_pallas import mrf_runtime_enabled
 
@@ -399,8 +425,12 @@ def _vocode(vocoder, vocoder_variables, dec):
     # (ops/mrf_pallas.py): measured 17.7 -> 11.1 ms for the full generator
     # on v5e. CPU (tests, dryrun) keeps the module path — pallas needs
     # interpret mode there and output parity is pinned separately.
-    # ARTTTS_DISABLE_MRF_PALLAS=1 forces the XLA path (bench fallback).
-    if isinstance(vocoder, HiFiGANGenerator) and mrf_runtime_enabled():
+    # `pallas=False` forces the XLA path explicitly (a STATIC choice at the
+    # jitted entry points); ARTTTS_DISABLE_MRF_PALLAS=1 flips the default.
+    use_fast = mrf_runtime_enabled() if pallas is None else (
+        pallas and jax.default_backend() != "cpu"
+    )
+    if isinstance(vocoder, HiFiGANGenerator) and use_fast:
         return hifigan_forward_fast(vocoder, vocoder_variables, dec)
     return vocoder.apply(vocoder_variables, dec)
 
@@ -408,7 +438,8 @@ def _vocode(vocoder, vocoder_variables, dec):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver"
+        "model", "vocoder", "n_timesteps", "max_frames", "stoc", "solver",
+        "pallas",
     ),
 )
 def synthesize_to_wav_from_encoding(
@@ -427,6 +458,7 @@ def synthesize_to_wav_from_encoding(
     spk=None,
     x_durations=None,
     solver: str = "euler",
+    pallas: Optional[bool] = None,
 ):
     """Decode + vocode from precomputed encoder outputs, in one jitted
     program. With `encode_text` this is the two-dispatch serving path: a
@@ -447,8 +479,9 @@ def synthesize_to_wav_from_encoding(
         spk=spk,
         x_durations=x_durations,
         solver=solver,
+        pallas=pallas,
     )
-    return _vocode(vocoder, vocoder_variables, dec), y_lengths
+    return _vocode(vocoder, vocoder_variables, dec, pallas), y_lengths
 
 
 def serve_text_to_wav(

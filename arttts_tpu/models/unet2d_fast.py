@@ -494,7 +494,7 @@ def score2d_fast(
 
 def make_score_fn(
     model, variables, T: int, interpret: bool = False, sharded: bool = False,
-    mesh=None,
+    mesh=None, pallas=None,
 ):
     """Dispatch: the fused fast path when supported on this backend,
     otherwise the module's `estimate_noise`.  `model` is a GradTTSModel;
@@ -505,7 +505,13 @@ def make_score_fn(
     (models/unet2d_sp.py: shard_map + packed math + halo/stat collectives)
     when the geometry supports it and `mesh` is given; otherwise the module
     path, which GSPMD partitions (the fused Pallas kernels themselves carry
-    no sequence-sharding rules)."""
+    no sequence-sharding rules).
+
+    `pallas`: None = auto (backend + ARTTTS_DISABLE_UNET_PALLAS);
+    True/False force the fused/module formulation. Callers inside jit MUST
+    thread this as a static argument rather than mutating the env — env
+    gates read at trace time do not invalidate jit caches (the r5 bench
+    aliasing incident, see `synthesize_to_wav`)."""
     cfg = model.config
     if sharded and mesh is not None:
         from arttts_tpu.models.unet2d_sp import (
@@ -519,10 +525,14 @@ def make_score_fn(
             interpret or unet2d_sp_runtime_enabled()
         ):
             return make_sp_score_fn(model, variables, T, mesh)
+    enabled = (
+        (interpret or unet2d_fast_runtime_enabled()) if pallas is None
+        else pallas
+    )
     use_fast = (
         not sharded
         and unet2d_fast_supported(cfg, T)
-        and (interpret or unet2d_fast_runtime_enabled())
+        and enabled
     )
     if use_fast and not cfg.decoder.masked_norm:
         _warn_masked_norm_once()

@@ -28,11 +28,13 @@ compile OOM rc=1, r4 remote-compile-queue starvation rc=124):
     poisoned-queue signature) it waits and retries with stderr progress
     instead of blocking inside the headline compile.
   - The headline is measured TWICE: first a cheap provisional pass on the
-    pure-XLA fallback path (kill switches on) so *a* headline exists
-    early, then the Pallas serving path overwrites it. The provisional
-    compile doubles as the model-FLOPs cost analysis (Pallas custom calls
-    are invisible to cost_analysis, the XLA lowering is the analytic
-    model cost).
+    pure-XLA fallback path (`pallas=False` — a STATIC argument of the
+    jitted entry points, NOT an env gate: env reads at trace time do not
+    key jit caches, and the r4/r5 env-switched fallback silently aliased
+    the Pallas headline to the XLA executable), then the Pallas serving
+    path overwrites it. The provisional compile doubles as the
+    model-FLOPs cost analysis (Pallas custom calls are invisible to
+    cost_analysis, the XLA lowering is the analytic model cost).
   - A state file (~/.cache/arttts_bench_state.json) keeps the last fully
     measured result; if a run dies before ANY headline is measured, the
     emergency emission reports the stale value explicitly marked
@@ -311,31 +313,22 @@ def main():
 
     base_key = jax.random.PRNGKey(1)
 
-    def make_run(synth):
+    def make_run(pallas=None):
+        # `pallas` is a STATIC arg of synthesize_to_wav: the XLA fallback
+        # and the Pallas path are distinct jit cache entries. (The r4/r5
+        # env-kill-switch + fresh-jit approach silently ALIASED them — two
+        # jax.jit wrappers of one function share the C++ jit cache by
+        # function identity — so the "Pallas headline" measured the all-XLA
+        # binary, 126.6 ms vs the real 106.9, for two rounds.)
         def run(k):
             # the full serving path is ONE jitted program (one dispatch)
-            return synth(
+            return synthesize_to_wav(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
                 n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
-                x_durations=durations,
+                x_durations=durations, pallas=pallas,
             )
 
         return run
-
-    def fresh_xla_jit():
-        # fresh jit wrapper: the module-level jitted synthesize_to_wav
-        # caches on arg signature only, not env kill switches
-        import functools as _ft
-
-        return _ft.partial(
-            jax.jit(
-                synthesize_to_wav.__wrapped__,
-                static_argnames=(
-                    "model", "vocoder", "n_timesteps", "max_frames", "stoc",
-                    "solver",
-                ),
-            )
-        )
 
     import arttts_tpu.ops.upsample_pallas as _ups
 
@@ -352,62 +345,44 @@ def main():
     frames = MAX_FRAMES
     audio_seconds = MAX_FRAMES * 256 / 22050.0
     model_flops = 0.0
-    env_keys = ("ARTTTS_DISABLE_UNET_PALLAS", "ARTTTS_DISABLE_MRF_PALLAS")
     if os.environ.get("ARTTTS_BENCH_SAFE_HEADLINE", "1") not in ("", "0"):
         try:
             progress("scenario 1a (provisional XLA headline) compile")
-            saved_env = {k: os.environ.get(k) for k in env_keys}
+            run_xla = make_run(pallas=False)
+            out = run_xla(base_key)
+            float(jnp.sum(out[0]))  # compile + full device sync
+            progress("scenario 1a compiled; quick timing")
+            elapsed_p, out = differential_time(
+                run_xla, base_key, n_small=1, n_large=5, repeats=3
+            )
+            frames = int(np.asarray(out[1]).max())
+            audio_seconds = frames * 256 / 22050.0
+            STATE["rtf"] = elapsed_p / audio_seconds
+            extras["xla_fallback_rtf"] = round(STATE["rtf"], 5)
+            extras["headline_path"] = "xla_fallback_provisional"
+            _save_state_file()
             try:
-                for k in env_keys:
-                    os.environ[k] = "1"
-                run_xla = make_run(fresh_xla_jit())
-                out = run_xla(base_key)
-                float(jnp.sum(out[0]))  # compile + full device sync
-                progress("scenario 1a compiled; quick timing")
-                elapsed_p, out = differential_time(
-                    run_xla, base_key, n_small=1, n_large=5, repeats=3
-                )
-                frames = int(np.asarray(out[1]).max())
-                audio_seconds = frames * 256 / 22050.0
-                STATE["rtf"] = elapsed_p / audio_seconds
-                extras["xla_fallback_rtf"] = round(STATE["rtf"], 5)
-                extras["headline_path"] = "xla_fallback_provisional"
-                _save_state_file()
-                try:
-                    cost2 = jax.jit(
-                        synthesize_to_wav.__wrapped__,
-                        static_argnames=(
-                            "model", "vocoder", "n_timesteps", "max_frames",
-                            "stoc", "solver",
-                        ),
-                    ).lower(
-                        model, variables, vocoder, voc_vars, base_key, x,
-                        x_lengths, n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
-                        x_durations=durations,
-                    ).compile().cost_analysis()
-                    if isinstance(cost2, list):
-                        cost2 = cost2[0]
-                    model_flops = float(cost2.get("flops", 0.0))
-                    if model_flops > 0:
-                        extras["model_tflop_per_utt"] = round(
-                            model_flops / 1e12, 3
-                        )
-                except Exception:
-                    traceback.print_exc()
-            finally:
-                for k, v in saved_env.items():
-                    if v is None:
-                        os.environ.pop(k, None)
-                    else:
-                        os.environ[k] = v
+                cost2 = synthesize_to_wav.lower(
+                    model, variables, vocoder, voc_vars, base_key, x,
+                    x_lengths, n_timesteps=N_STEPS, max_frames=MAX_FRAMES,
+                    x_durations=durations, pallas=False,
+                ).compile().cost_analysis()
+                if isinstance(cost2, list):
+                    cost2 = cost2[0]
+                model_flops = float(cost2.get("flops", 0.0))
+                if model_flops > 0:
+                    extras["model_tflop_per_utt"] = round(
+                        model_flops / 1e12, 3
+                    )
+            except Exception:
+                traceback.print_exc()
         except Exception as e:
             traceback.print_exc()
             extras["provisional_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # -------- scenario 1: headline pinned-duration RTF (Pallas path) -------
     progress("scenario 1 (headline, pallas path) compile")
-    synth = synthesize_to_wav
-    run = make_run(synth)
+    run = make_run(pallas=None)  # auto: the default serving configuration
     try:
         out = run(base_key)
         float(jnp.sum(out[0]))  # compile + full device sync
@@ -432,10 +407,7 @@ def main():
         if STATE["rtf"] is None:
             # BENCH_r02 postmortem: Pallas compile failure must still
             # produce a headline — force the XLA path
-            os.environ["ARTTTS_DISABLE_MRF_PALLAS"] = "1"
-            os.environ["ARTTTS_DISABLE_UNET_PALLAS"] = "1"
-            synth = fresh_xla_jit()
-            run = make_run(synth)
+            run = make_run(pallas=False)
             out = run(base_key)
             float(jnp.sum(out[0]))
             elapsed, out = differential_time(run, base_key)
@@ -573,7 +545,7 @@ def main():
         extras["batched_masked_norm"] = True
 
         def run_b8(k):
-            return synth(
+            return synthesize_to_wav(
                 model_mn, variables, vocoder, voc_vars, k, x8, xl8,
                 n_timesteps=N_STEPS, max_frames=MAX_FRAMES, x_durations=dur8,
             )
@@ -609,7 +581,7 @@ def main():
             raise TimeoutError("bench budget spent")
         progress("scenario 4 (heun25)")
         def run_heun(k):
-            return synth(
+            return synthesize_to_wav(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
                 n_timesteps=25, max_frames=MAX_FRAMES, x_durations=durations,
                 solver="heun",
@@ -634,7 +606,7 @@ def main():
             raise TimeoutError("bench budget spent")
         progress("scenario 5 (dpm15)")
         def run_dpm(k):
-            return synth(
+            return synthesize_to_wav(
                 model, variables, vocoder, voc_vars, k, x, x_lengths,
                 n_timesteps=15, max_frames=MAX_FRAMES, x_durations=durations,
                 solver="dpm",
