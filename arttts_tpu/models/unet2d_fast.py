@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -282,7 +283,7 @@ def score2d_fast(
     spk_emb=None,
     interpret: bool = False,
     fuse_attn: bool = True,
-    mid_kernels: bool = True,
+    mid_kernels: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Noise estimate on (B, T, n_feats) inputs; `params` is the
     estimator's param dict (`variables["params"]["estimator"]`).
@@ -295,11 +296,16 @@ def score2d_fast(
 
     With `mid_kernels` (r5, VERDICT r4 #4) the two remaining XLA ops in
     the body — Downsample2d_1 and ConvTranspose2dTorch_0 — run as wide
-    Pallas kernels on the padded wide layout, removing the unpad/mask/
-    re-pad boundary copies that unfuse at B=8 (r4 paired traces:
-    copy/layout 0.172 -> 3.46 ms/step).  A/B: ARTTTS_UNET_MID_KERNELS=0."""
+    Pallas kernels on the padded wide layout.  Hardware A/B (r5): the
+    bare loop is a wash at B=1 and 4% WORSE at B=8, but the FULL serving
+    program at B=1 is 2.4 ms FASTER with them (106.71 vs 109.08 ms —
+    keeping the body all-kernels protects XLA's layouts in the larger
+    program, the r3 "mixing domains" effect).  Default None = auto: ON at
+    B == 1, OFF for batched inputs; ARTTTS_UNET_MID_KERNELS forces."""
     d = cfg.decoder
     B, T, F = xt.shape
+    if mid_kernels is None:
+        mid_kernels = B == 1  # see the docstring's hardware A/B
     dim = d.dim
     eps = 1e-5 if d.masked_norm else 1e-6
 
@@ -545,14 +551,11 @@ def make_score_fn(
     fuse_attn = os.environ.get("ARTTTS_UNET_FUSED_ATTN", "1") not in (
         "", "0"
     )
-    # Default OFF (r5 hardware A/B): the wide mid-boundary kernels measure
-    # a wash at B=1 (94.68 vs 94.47 ms/50-step) and a 4% LOSS at B=8
-    # (119.24 vs 114.73 ms/utt) — the host-side plane interleave +
-    # strided pre-splits cost as much as the unpad/pad copies they
-    # replace.  Kept as an A/B lever; see CLAUDE.md "B=8 boundary" note.
-    mid_kernels = os.environ.get("ARTTTS_UNET_MID_KERNELS", "0") not in (
-        "", "0"
-    )
+    # Tri-state (r5 hardware A/B): unset -> auto by batch inside
+    # score2d_fast (ON at B=1 where the full program wins 2.4 ms, OFF for
+    # batched inputs where the bare loop loses 4%); "0"/"1" force.
+    _mid_env = os.environ.get("ARTTTS_UNET_MID_KERNELS", "")
+    mid_kernels = None if _mid_env == "" else _mid_env != "0"
 
     def score(xt, mask, mu, t, spk):
         emb = None
